@@ -1,0 +1,145 @@
+"""Rotation metrics, kernels, MMD and kernel two-sample tests.
+
+Re-design of the reference eval layer (``util.py:110-151, 254-322``) around
+the MXU: the reference evaluates kernels by materialising (N, M, 3, 3)
+pairwise relative rotations and calling ``log_rmat`` on them
+(``util.py:128-134, 315-322``).  Here the pairwise geodesic angle comes
+straight from six bilinear forms of the rotation entries — one batched
+``einsum`` (a dot_general on the MXU) plus elementwise ``atan2`` — with
+O(N*M) memory per chunk and no 3x3 intermediates.
+
+Math: for M = X^T Y,  trace(M) = <X, Y>_F  and the skew part's vector has
+norm 2 sin(theta), both bilinear in the entries of X and Y, so
+theta(n, m) = atan2(|skew(M)|/2, (trace(M)-1)/2) needs only the 9 pairwise
+column inner products  G[n,m,i,j] = <X_n[:,i], Y_m[:,j]>.
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from .so3 import MM, rmul
+
+__all__ = [
+    "rmat_cosine_dist",
+    "rmat_cosine_kernel",
+    "rmat_gaussian_kernel",
+    "rmat_dist",
+    "pairwise_rotation_angle",
+    "gaussian_kernel_matrix",
+    "cosine_kernel_matrix",
+    "mmd",
+    "ker_2samp_test",
+    "ker_2samp_log_prob",
+]
+
+
+def rmat_cosine_dist(m1: jax.Array, m2: jax.Array) -> jax.Array:
+    """1 - cos(theta) between (batched, broadcast) rotation matrices
+    (reference: ``util.py:110-125``)."""
+    tra = jnp.trace(rmul(jnp.swapaxes(m2, -1, -2), m1), axis1=-2, axis2=-1)
+    return 1.0 - (tra - 1.0) / 2.0
+
+
+def rmat_cosine_kernel(m1: jax.Array, m2: jax.Array) -> jax.Array:
+    """cos(theta) kernel (reference: ``util.py:136-151``)."""
+    tra = jnp.trace(rmul(jnp.swapaxes(m2, -1, -2), m1), axis1=-2, axis2=-1)
+    return (tra - 1.0) / 2.0
+
+
+def rmat_dist(input: jax.Array, target: jax.Array) -> jax.Array:
+    """Frobenius norm of log(m1^T m2) = sqrt(2) * theta
+    (reference: ``util.py:315-322``), computed without forming the log."""
+    mul = rmul(jnp.swapaxes(input, -1, -2), target)
+    skew = mul - jnp.swapaxes(mul, -1, -2)
+    # |skew|_F = sqrt(2) |skew2vec(skew)|, and s_angle = |skew2vec|/2.
+    s = 0.5 * jnp.sqrt(0.5 * jnp.sum(skew * skew, axis=(-1, -2)))
+    c = 0.5 * (jnp.trace(mul, axis1=-2, axis2=-1) - 1.0)
+    theta = jnp.arctan2(s, c)
+    return math.sqrt(2.0) * theta
+
+
+def rmat_gaussian_kernel(m1: jax.Array, m2: jax.Array) -> jax.Array:
+    """exp(-geodesic Frobenius distance) (reference: ``util.py:128-134``)."""
+    return jnp.exp(-rmat_dist(m1, m2))
+
+
+def pairwise_rotation_angle(x: jax.Array, y: jax.Array) -> jax.Array:
+    """(N, M) matrix of geodesic angles theta(X_n, Y_m) via MXU bilinears."""
+    # G[n, m, i, j] = sum_k X[n, k, i] * Y[m, k, j]
+    g = jnp.einsum(
+        "nki,mkj->nmij", x, y, preferred_element_type=jnp.float32, precision=MM
+    )
+    tra = g[..., 0, 0] + g[..., 1, 1] + g[..., 2, 2]
+    sx = g[..., 2, 1] - g[..., 1, 2]
+    sy = g[..., 0, 2] - g[..., 2, 0]
+    sz = g[..., 1, 0] - g[..., 0, 1]
+    s_angle = 0.5 * jnp.sqrt(sx * sx + sy * sy + sz * sz)
+    c_angle = 0.5 * (tra - 1.0)
+    return jnp.arctan2(s_angle, c_angle)
+
+
+def gaussian_kernel_matrix(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Pairwise ``rmat_gaussian_kernel`` as an (N, M) matrix."""
+    return jnp.exp(-math.sqrt(2.0) * pairwise_rotation_angle(x, y))
+
+
+def cosine_kernel_matrix(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Pairwise ``rmat_cosine_kernel`` as an (N, M) matrix."""
+    return jnp.cos(pairwise_rotation_angle(x, y))
+
+
+def _chunked_kernel_sum(
+    x: jax.Array, y: jax.Array, kernel_matrix: Callable, chunksize: int | None
+) -> jax.Array:
+    """sum_{n,m} k(x_n, y_m) with O(chunk^2) memory (reference chunking
+    semantics, ``util.py:262-279``)."""
+    n, m = x.shape[0], y.shape[0]
+    if chunksize is None or chunksize >= max(n, m):
+        return jnp.sum(kernel_matrix(x, y))
+
+    total = jnp.zeros((), dtype=jnp.float32)
+    summed = jax.jit(lambda a, b: jnp.sum(kernel_matrix(a, b)))
+    for i in range(0, n, chunksize):
+        for j in range(0, m, chunksize):
+            total = total + summed(x[i : i + chunksize], y[j : j + chunksize])
+    return total
+
+
+def mmd(
+    x: jax.Array,
+    y: jax.Array,
+    kernel_matrix: Callable = gaussian_kernel_matrix,
+    chunksize: int | None = None,
+) -> jax.Array:
+    """Biased MMD^2 estimate, matching ``util.py:254-285`` exactly
+    (diagonal terms included, 1/l^2 and 2/(lx*ly) weights)."""
+    l_x, l_y = x.shape[0], y.shape[0]
+    x_sum = _chunked_kernel_sum(x, x, kernel_matrix, chunksize)
+    y_sum = _chunked_kernel_sum(y, y, kernel_matrix, chunksize)
+    xy_sum = _chunked_kernel_sum(x, y, kernel_matrix, chunksize)
+    return x_sum / l_x**2 + y_sum / l_y**2 - 2.0 * xy_sum / (l_x * l_y)
+
+
+def ker_2samp_test(
+    x, y, kernel_matrix=gaussian_kernel_matrix, alpha=0.05, max_ker=1.0, chunksize=None
+) -> bool:
+    """Kernel two-sample acceptance test (reference: ``util.py:289-299``)."""
+    m = x.shape[0]
+    assert m == y.shape[0], "Requires equal amount of samples from X and Y"
+    val = float(mmd(x, y, kernel_matrix, chunksize=chunksize))
+    test_val = (2 * max_ker / m) ** 0.5 * (1 + (2 * math.log(1 / alpha)) ** 0.5)
+    return val < test_val
+
+
+def ker_2samp_log_prob(
+    x, y, kernel_matrix=gaussian_kernel_matrix, max_ker=1.0, chunksize=None
+) -> float:
+    """Log p-value of a type-I error (reference: ``util.py:301-312``)."""
+    m = x.shape[0]
+    assert m == y.shape[0], "Requires equal amount of samples from X and Y"
+    val = float(mmd(x, y, kernel_matrix, chunksize=chunksize))
+    return -(((val / ((2 * max_ker / m) ** 0.5)) - 1) ** 2) / 2

@@ -1,0 +1,139 @@
+"""Toy SO(3) diffusion: two rotation modes (+-90deg about z).
+
+TPU-native equivalent of the reference drivers ``so3_train.py:54-81`` (train)
+and ``so3_test.py`` (sample + convergence eval), as one CLI:
+
+    python -m diffusion_extensions_tpu.experiments.so3_toy --steps 5000
+    python -m diffusion_extensions_tpu.experiments.so3_toy --test
+
+Training is a single jitted step (process loss -> grad -> adam) over a
+device mesh (data-parallel when more than one chip is visible); evaluation
+runs the full ``lax.scan`` reverse chain and reports geodesic distance to
+the nearest mode (the reference plots traces; we print the percentile
+summary, ``so3_test.py:74-80`` semantics).
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.synthetic import sample_two_mode_batch, two_mode_rotations
+from ..models.rot_predict import RotPredict
+from ..ops.metrics import rmat_dist
+from ..parallel.dp import make_dp_train_step, shard_batch
+from ..parallel.mesh import make_mesh
+from ..train.loop import MetricLogger, Throughput
+from ..train.state import TrainState, restore_checkpoint, save_checkpoint
+from ..processes.so3 import SO3Diffusion
+
+
+def build(args):
+    model = RotPredict(d_model=args.d_model, out_type="skewvec")
+    process = SO3Diffusion.create(args.timesteps, loss_type="skewvec")
+    return model, process
+
+
+def train(args):
+    model, process = build(args)
+    key = jax.random.PRNGKey(args.seed)
+    key, init_key = jax.random.split(key)
+    x_init = jnp.zeros((args.batch, 3, 3))
+    t_init = jnp.zeros((args.batch,), dtype=jnp.int32)
+    params = model.init(init_key, x_init, t_init)
+    tx = optax.adam(args.lr)
+    state = TrainState.create(params, tx, key)
+    if args.resume:
+        state = restore_checkpoint(args.ckpt, state)
+
+    mesh = make_mesh()
+
+    def loss_fn(params, key, batch):
+        return process.loss(
+            lambda x, t: model.apply(params, x, t), key, batch
+        )
+
+    step_fn = make_dp_train_step(loss_fn, tx, mesh)
+
+    logger = MetricLogger(jsonl_path=args.log, print_every=args.print_every)
+    meter = Throughput()
+    data_key = jax.random.PRNGKey(args.seed + 1)
+    for i in range(int(state.step), args.steps):
+        data_key, k = jax.random.split(data_key)
+        batch = shard_batch(sample_two_mode_batch(k, args.batch), mesh)
+        state, metrics = step_fn(state, batch)
+        meter.tick()
+        if (i + 1) % args.print_every == 0:
+            sps = meter.steps_per_sec
+            logger.log(
+                i + 1,
+                {"loss": metrics["loss"], "steps_per_sec": sps or float("nan")},
+            )
+        if (i + 1) % args.ckpt_every == 0 or (i + 1) == args.steps:
+            save_checkpoint(args.ckpt, state)
+    return state
+
+
+def test(args):
+    model, process = build(args)
+    key = jax.random.PRNGKey(args.seed)
+    params = model.init(key, jnp.zeros((1, 3, 3)), jnp.zeros((1,), jnp.int32))
+    tx = optax.adam(args.lr)
+    state = restore_checkpoint(args.ckpt, TrainState.create(params, tx, key))
+    if int(state.step) == 0:
+        print("warning: no checkpoint found; sampling from untrained model")
+
+    denoise = lambda x, t: model.apply(state.params, x, t)
+    t0 = time.perf_counter()
+    samples = jax.jit(
+        lambda k: process.p_sample_loop(denoise, k, (args.eval_batch,))
+    )(jax.random.PRNGKey(args.seed + 2))
+    samples.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    modes = two_mode_rotations()
+    # sqrt(2)*theta -> theta (reference scales by 0.70710678, so3_test.py:76-77)
+    d0 = rmat_dist(samples, modes[0][None]) * 0.70710678118
+    d1 = rmat_dist(samples, modes[1][None]) * 0.70710678118
+    best = jnp.minimum(d0, d1)
+    pcts = (1, 5, 10, 50, 90, 95, 99)
+    vals = np.percentile(np.asarray(best), pcts)
+    print(f"sampled {args.eval_batch} rotations in {dt:.2f}s "
+          f"({args.timesteps} reverse steps)")
+    print("angle-to-nearest-mode percentiles (rad):")
+    print("  " + "  ".join(f"{p}%: {v:.4f}" for p, v in zip(pcts, vals)))
+    return np.asarray(best)
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Toy SO(3) diffusion")
+    p.add_argument("--batch", type=int, default=64)  # so3_train.py:52
+    p.add_argument("--lr", type=float, default=3e-4)  # so3_train.py:63
+    p.add_argument("--steps", type=int, default=400_000)  # so3_train.py:69
+    p.add_argument("--d_model", type=int, default=65)
+    p.add_argument("--timesteps", type=int, default=1000)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--ckpt", type=str, default="weights/so3_toy")
+    p.add_argument("--ckpt-every", dest="ckpt_every", type=int, default=1000)
+    p.add_argument("--print-every", dest="print_every", type=int, default=10)
+    p.add_argument("--log", type=str, default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--test", action="store_true")
+    p.add_argument("--eval-batch", dest="eval_batch", type=int, default=512)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.test:
+        test(args)
+    else:
+        train(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,201 @@
+"""Shared model building blocks (reference: ``models.py:13-182``), flax.linen.
+
+The transformer encoder reproduces PyTorch-1.8 ``nn.TransformerEncoderLayer``
+semantics (post-LayerNorm, ReLU, d_ff=2048 default, dropout 0.1) that the
+reference relies on (``models.py:170-192``), but batch-first and with masks
+expressed as boolean attend-weights (no batch/sequence transpose dance —
+``models.py:177-182`` exists only because PT 1.8 lacked batch_first).
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+__all__ = [
+    "SinusoidalPosEmb",
+    "Siren",
+    "ResLayer",
+    "ResMLPBlock",
+    "PoolRN",
+    "PoolPos",
+    "TransformerEncoderLayer",
+    "TransformerEncoder",
+]
+
+
+class SinusoidalPosEmb(nn.Module):
+    """Sin/cos timestep embedding (reference: ``models.py:13-25``)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        half_dim = self.dim // 2
+        emb = math.log(10000) / (half_dim - 1)
+        emb = jnp.exp(jnp.arange(half_dim, dtype=jnp.float32) * -emb)
+        emb = x.astype(jnp.float32)[:, None] * emb[None, :]
+        return jnp.concatenate((jnp.sin(emb), jnp.cos(emb)), axis=-1)
+
+
+def _siren_kernel_init(scale: float):
+    def init(key, shape, dtype=jnp.float32):
+        in_channels = shape[0]
+        bound = (6.0 / in_channels) ** 0.5
+        return scale * jax.random.uniform(
+            key, shape, dtype, minval=-bound, maxval=bound
+        )
+
+    return init
+
+
+def _siren_bias_init(key, shape, dtype=jnp.float32):
+    return jax.random.uniform(key, shape, dtype, minval=-3.14159, maxval=3.14159)
+
+
+class Siren(nn.Module):
+    """Sin-activated linear layer with SIREN init (reference:
+    ``models.py:37-72``): weights ~ U(+-sqrt(6/in)) * scale, bias ~ U(+-pi),
+    optional post-linear."""
+
+    out_channels: int
+    scale: float = 1.0
+    post_scale: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        res = jnp.sin(
+            nn.Dense(
+                self.out_channels,
+                kernel_init=_siren_kernel_init(self.scale),
+                bias_init=_siren_bias_init,
+            )(x)
+        )
+        if self.post_scale:
+            return nn.Dense(self.out_channels)(res)
+        return res
+
+
+class ResLayer(nn.Module):
+    """x + f(x) (reference: ``models.py:28-34``)."""
+
+    layer: Callable
+
+    @nn.compact
+    def __call__(self, x):
+        return x + self.layer(x)
+
+
+class ResMLPBlock(nn.Module):
+    """Residual Linear+SiLU block, the reference's
+    ``ResLayer(Sequential(Linear, SiLU))`` idiom."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        return x + nn.silu(nn.Dense(self.dim)(x))
+
+
+class PoolRN(nn.Module):
+    """Sigmoid-gated weighted mean pooling of features
+    (reference: ``models.py:94-110``)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None):
+        if mask is None:
+            mask = jnp.ones(x.shape[:-1], dtype=bool)
+        weight = nn.sigmoid(nn.Dense(1)(x)) * mask[..., None].astype(x.dtype)
+        w_sum = jnp.maximum(jnp.sum(weight, axis=-2), 1e-6)
+        val = nn.Dense(self.dim)(x)
+        return jnp.sum(val * weight, axis=-2) / w_sum
+
+
+class PoolPos(nn.Module):
+    """Sigmoid-gated weighted mean pooling of positions
+    (reference: ``models.py:113-127``)."""
+
+    @nn.compact
+    def __call__(self, x: jax.Array, pos: jax.Array, mask: Optional[jax.Array] = None):
+        if mask is None:
+            mask = jnp.ones(x.shape[:-1], dtype=bool)
+        weight = nn.sigmoid(nn.Dense(1)(x)) * mask[..., None].astype(x.dtype)
+        w_sum = jnp.maximum(jnp.sum(weight, axis=-2), 1e-6)
+        return jnp.sum(pos * weight, axis=-2) / w_sum
+
+
+class TransformerEncoderLayer(nn.Module):
+    """PyTorch-1.8-semantics encoder layer: post-norm, ReLU FFN."""
+
+    dim: int
+    heads: int
+    dim_feedforward: int = 2048
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic: bool = True):
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.heads,
+            qkv_features=self.dim,
+            out_features=self.dim,
+            dropout_rate=self.dropout,
+            dtype=self.dtype,
+        )(x, x, mask=mask, deterministic=deterministic)
+        x = nn.LayerNorm(epsilon=1e-5)(
+            x + nn.Dropout(self.dropout, deterministic=deterministic)(attn)
+        )
+        h = nn.relu(nn.Dense(self.dim_feedforward, dtype=self.dtype)(x))
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = nn.Dense(self.dim, dtype=self.dtype)(h)
+        x = nn.LayerNorm(epsilon=1e-5)(
+            x + nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        )
+        return x
+
+
+class TransformerEncoder(nn.Module):
+    """Stack of encoder layers, optional final LayerNorm (reference
+    ``TransformerEnc2`` uses one, ``models.py:170-182``; ``PlaneNet``'s
+    stack does not, ``models.py:190-192``).
+
+    ``key_padding_mask``: boolean (B, L), True = valid token (note: the
+    *inverse* of PyTorch's src_key_padding_mask convention, which the
+    reference has to ``logical_not`` at every call site,
+    ``models.py:290,308``).
+
+    ``dtype``: activation dtype for the attention/FFN matmuls — pass
+    jnp.bfloat16 to run the MXU-heavy path in bf16 (LayerNorms and the
+    residual stream stay float32).
+    """
+
+    dim: int
+    heads: int
+    layers: int
+    dim_feedforward: int = 2048
+    dropout: float = 0.0
+    final_norm: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, key_padding_mask=None, deterministic: bool = True):
+        mask = None
+        if key_padding_mask is not None:
+            # (B, 1, 1, L) — broadcast over heads and query positions.
+            mask = key_padding_mask[:, None, None, :]
+        for _ in range(self.layers):
+            x = TransformerEncoderLayer(
+                self.dim,
+                self.heads,
+                self.dim_feedforward,
+                self.dropout,
+                dtype=self.dtype,
+            )(x, mask=mask, deterministic=deterministic)
+        if self.final_norm:
+            x = nn.LayerNorm(epsilon=1e-5)(x)
+        return x

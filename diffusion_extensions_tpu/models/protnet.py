@@ -1,0 +1,112 @@
+"""Protein docking denoiser (reference ``ProtNet``, ``models.py:213-319``).
+
+Operates on the padded/masked ``ProtBatch`` (static shapes — TPU-friendly
+replacement for the reference's per-forward ``pad_sequence`` of ragged
+tensors, ``models.py:277-308``).
+
+Reference quirks handled explicitly:
+* the reference instantiates ``lig_tf`` but encodes the ligand through
+  ``rec_tf`` (``models.py:258,308``) — reproduce with
+  ``share_encoders=True`` (default, matching observed behavior); set False
+  for the presumably-intended separate encoders.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.se3 import AffineGrad, ProtData
+from .layers import PoolPos, PoolRN, Siren, SinusoidalPosEmb, TransformerEncoder
+from .projections import ProtBatch
+
+__all__ = ["ProtNet", "RES_COUNT", "UNIQUE_RESIDUES"]
+
+# reference: prot_util.py:11-40
+UNIQUE_RESIDUES = [
+    "ALA", "CYS", "ASP", "GLU", "PHE", "GLY", "HIS", "ILE", "LYS", "LEU",
+    "MET", "ASN", "PRO", "GLN", "ARG", "SER", "THR", "VAL", "TRP", "TYR",
+    "---",  # unknown / padding
+]
+RES_COUNT = len(UNIQUE_RESIDUES)
+
+
+class _ResConv(nn.Module):
+    """1-D conv residue embedding block (reference: ``models.py:227-257``):
+    res_count -> dim, (c_depth-2) residual conv+SiLU blocks, dim -> res_dim."""
+
+    dim: int
+    res_dim: int
+    c_depth: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:  # (B, L, RES_COUNT)
+        h = nn.silu(nn.Conv(self.dim, kernel_size=(3,), padding="SAME")(x))
+        for _ in range(self.c_depth - 2):
+            h = h + nn.silu(nn.Conv(self.dim, kernel_size=(3,), padding="SAME")(h))
+        return nn.Conv(self.res_dim, kernel_size=(3,), padding="SAME")(h)
+
+
+class ProtNet(nn.Module):
+    """(ProtBatch, t) -> AffineGrad (se3=True) or raw 6-vector."""
+
+    dim: int = 64
+    heads: int = 4
+    t_depth: int = 4
+    c_depth: int = 3
+    se3: bool = True
+    share_encoders: bool = True
+    dropout: float = 0.0
+    bf16: bool = False
+
+    @nn.compact
+    def __call__(self, x: ProtBatch, t: jax.Array, deterministic: bool = True):
+        dim = self.dim
+        pos_dim = dim // 2
+        ang_dim = dim // 4
+        res_dim = dim - (pos_dim + ang_dim)
+        act_dtype = jnp.bfloat16 if self.bf16 else jnp.float32
+
+        time_embed = SinusoidalPosEmb(dim)(t)  # (B, dim)
+        pos_emb = Siren(pos_dim, scale=0.1)
+        ang_emb = Siren(ang_dim)
+        res_conv = _ResConv(dim, res_dim, self.c_depth)
+        rec_tf = TransformerEncoder(
+            dim, self.heads, self.t_depth, dropout=self.dropout,
+            final_norm=True, dtype=act_dtype,
+        )
+        lig_tf = rec_tf if self.share_encoders else TransformerEncoder(
+            dim, self.heads, self.t_depth, dropout=self.dropout,
+            final_norm=True, dtype=act_dtype,
+        )
+
+        def encode(prot: ProtData, mask: jax.Array, tf: TransformerEncoder):
+            ang_flat = prot.angles.reshape(*prot.angles.shape[:-2], 9)
+            feats = jnp.concatenate(
+                (
+                    res_conv(prot.residues),
+                    pos_emb(prot.positions),
+                    ang_emb(ang_flat),
+                ),
+                axis=-1,
+            )  # (B, L, dim)
+            return tf(feats, key_padding_mask=mask, deterministic=deterministic)
+
+        r_out = encode(x.receptor, x.receptor_mask, rec_tf).astype(jnp.float32)
+        l_out = encode(x.ligand, x.ligand_mask, lig_tf).astype(jnp.float32)
+
+        r_pool = PoolRN(dim)(r_out, x.receptor_mask)
+        r_pos = PoolPos()(r_out, x.receptor.positions, x.receptor_mask)
+        l_pool = PoolRN(dim)(l_out, x.ligand_mask)
+        l_pos = PoolPos()(l_out, x.ligand.positions, x.ligand_mask)
+
+        pool = jnp.concatenate(
+            (time_embed, r_pool, r_pos, l_pool, l_pos), axis=-1
+        )  # (B, 3*dim + 6)
+        h = nn.silu(nn.Dense(dim)(pool))
+        for _ in range(3):
+            h = h + nn.silu(nn.Dense(dim)(h))
+        out = nn.Dense(6)(h)
+        if self.se3:
+            return AffineGrad(rot_g=out[..., :3], shift_g=out[..., 3:])
+        return out

@@ -270,7 +270,12 @@ def build_cdf_np(eps: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     sums = vals[..., :-1] + vals[..., 1:]
     diffs = np.diff(locs)
     trap = np.cumsum(diffs * sums / 2.0, axis=-1, dtype=np.float32)
-    trap = trap / trap[..., -1:]
+    # Degenerate rows (eps so small that all mass sits below the first grid
+    # point, e.g. the t == 0 posterior stdev ~1e-10): total mass underflows
+    # to 0.  Treat as a delta at angle ~ 0: cdf == 1 everywhere, so
+    # inverse-transform sampling returns the first grid location (~3e-9 rad).
+    total = trap[..., -1:]
+    trap = np.where(total > 0.0, trap / np.maximum(total, 1e-38), 1.0)
     return locs[1:], trap
 
 
@@ -285,7 +290,8 @@ def build_cdf(eps: jax.Array) -> tuple[jax.Array, jax.Array]:
     sums = vals[..., :-1] + vals[..., 1:]
     diffs = jnp.diff(locs)
     trap = jnp.cumsum(diffs * sums / 2.0, axis=-1)
-    trap = trap / trap[..., -1:]
+    total = trap[..., -1:]
+    trap = jnp.where(total > 0.0, trap / jnp.maximum(total, 1e-38), 1.0)
     return locs[1:], trap
 
 

@@ -1,0 +1,3 @@
+"""Multi-device parallelism: mesh construction and shard_map training."""
+from .mesh import P, data_sharding, make_mesh, replicated  # noqa: F401
+from .dp import make_dp_train_step, shard_batch  # noqa: F401

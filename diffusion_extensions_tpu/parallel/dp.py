@@ -1,0 +1,72 @@
+"""Data-parallel training step over an ICI mesh via ``shard_map``.
+
+TPU-native replacement for the reference's single-GPU training loops
+(SURVEY §2.7, §5.8): the batch is sharded on the ``"dp"`` mesh axis, params
+are replicated, and per-shard gradients are all-reduced with ``psum`` over
+ICI before the optimizer update — so every device applies the identical
+update and params stay replicated with no broadcast.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..train.state import TrainState
+
+__all__ = ["make_dp_train_step", "shard_batch"]
+
+
+def make_dp_train_step(
+    loss_fn: Callable,
+    tx,
+    mesh: Mesh,
+    axis: str = "dp",
+    donate: bool = True,
+):
+    """Build a jitted data-parallel train step.
+
+    ``loss_fn(params, key, batch) -> scalar loss`` is the per-shard loss on
+    the local batch slice (mean-reduced over the slice).  Returns
+    ``step(state, batch) -> (state, metrics)`` where the batch's leading dim
+    is sharded over ``axis``.
+    """
+
+    def shard_step(state: TrainState, batch):
+        # Per-device PRNG: fold the mesh position into this step's key so
+        # shards draw independent noise.
+        idx = jax.lax.axis_index(axis)
+        key = jax.random.fold_in(state.key, state.step)
+        step_key, next_key = jax.random.split(key)
+        local_key = jax.random.fold_in(step_key, idx)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, local_key, batch)
+        # ICI all-reduce: mean gradients and loss across shards.
+        grads = jax.lax.pmean(grads, axis)
+        loss = jax.lax.pmean(loss, axis)
+        new_state = state.apply_gradients(tx, grads, next_key)
+        return new_state, {"loss": loss}
+
+    state_spec = P()  # replicated
+
+    mapped = jax.shard_map(
+        shard_step,
+        mesh=mesh,
+        in_specs=(state_spec, P(axis)),
+        out_specs=(state_spec, P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(0,) if donate else ())
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "dp"):
+    """Place a host batch with its leading dim sharded over the mesh."""
+    from jax.sharding import NamedSharding
+
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch
+    )

@@ -1,0 +1,117 @@
+"""Tests for the training runtime and shard_map data parallelism."""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from diffusion_extensions_tpu.data.synthetic import (
+    sample_lock_batch,
+    sample_two_mode_batch,
+)
+from diffusion_extensions_tpu.models.rot_predict import RotPredict
+from diffusion_extensions_tpu.parallel import (
+    make_dp_train_step,
+    make_mesh,
+    shard_batch,
+)
+from diffusion_extensions_tpu.processes import SO3Diffusion
+from diffusion_extensions_tpu.train import (
+    TrainState,
+    restore_checkpoint,
+    save_checkpoint,
+)
+
+
+@pytest.fixture()
+def toy_setup():
+    model = RotPredict(d_model=65, out_type="skewvec")
+    process = SO3Diffusion.create(100)
+    key = jax.random.PRNGKey(0)
+    params = model.init(
+        key, jnp.zeros((1, 3, 3)), jnp.zeros((1,), jnp.int32)
+    )
+    tx = optax.adam(1e-3)
+    return model, process, params, tx
+
+
+def test_dp_train_step_runs_and_learns(toy_setup, devices):
+    model, process, params, tx = toy_setup
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+    def loss_fn(p, key, batch):
+        return process.loss(lambda x, t: model.apply(p, x, t), key, batch)
+
+    step_fn = make_dp_train_step(loss_fn, tx, mesh)
+    state = TrainState.create(params, tx, jax.random.PRNGKey(1))
+    data_key = jax.random.PRNGKey(2)
+    losses = []
+    for i in range(60):
+        data_key, k = jax.random.split(data_key)
+        batch = shard_batch(sample_two_mode_batch(k, 64), mesh)
+        state, metrics = step_fn(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert int(state.step) == 60
+    assert np.mean(losses[-10:]) < np.mean(losses[:10])
+
+
+def test_dp_matches_single_device(toy_setup):
+    """DP over 8 shards must equal a single-device step on the full batch
+    (same key tree): gradients are pmean'd, data split is the only diff —
+    so compare against a manual single-shard run with per-shard keys."""
+    model, process, params, tx = toy_setup
+    mesh = make_mesh()
+
+    def loss_fn(p, key, batch):
+        return process.loss(lambda x, t: model.apply(p, x, t), key, batch)
+
+    step_fn = make_dp_train_step(loss_fn, tx, mesh, donate=False)
+    state = TrainState.create(params, tx, jax.random.PRNGKey(1))
+    batch = sample_two_mode_batch(jax.random.PRNGKey(3), 64)
+    new_state, metrics = step_fn(state, shard_batch(batch, mesh))
+
+    # manual replica: same key derivation as dp.py
+    key = jax.random.fold_in(state.key, state.step)
+    step_key, _ = jax.random.split(key)
+    shard_losses, shard_grads = [], []
+    for idx in range(8):
+        local_key = jax.random.fold_in(step_key, idx)
+        shard = jax.tree_util.tree_map(lambda x: x[idx * 8 : (idx + 1) * 8], batch)
+        l, g = jax.value_and_grad(loss_fn)(state.params, local_key, shard)
+        shard_losses.append(l)
+        shard_grads.append(g)
+    mean_loss = np.mean([float(l) for l in shard_losses])
+    np.testing.assert_allclose(float(metrics["loss"]), mean_loss, rtol=1e-5)
+
+
+def test_checkpoint_roundtrip(toy_setup, tmp_path):
+    model, process, params, tx = toy_setup
+    state = TrainState.create(params, tx, jax.random.PRNGKey(7))
+    state = state.replace(step=jnp.asarray(42, jnp.int32))
+    ckpt = os.path.join(str(tmp_path), "ck")
+    save_checkpoint(ckpt, state)
+    fresh = TrainState.create(params, tx, jax.random.PRNGKey(0))
+    restored = restore_checkpoint(ckpt, fresh)
+    assert int(restored.step) == 42
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params),
+        jax.tree_util.tree_leaves(restored.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_lock_batch_on_geodesic():
+    from diffusion_extensions_tpu.ops.so3 import rotation_angle, rmat_to_euler
+
+    batch = sample_lock_batch(jax.random.PRNGKey(0), 128)
+    x, y, z = rmat_to_euler(batch)
+    # all rotations are about the y axis: per-element x euler is 0 or +-pi
+    # (the xyz decomposition flips x,z by pi when |y| > pi/2)
+    ax = np.abs(np.asarray(x))
+    assert np.all((ax < 1e-4) | (np.abs(ax - np.pi) < 1e-4))
+    ang = np.asarray(rotation_angle(batch))
+    assert ang.min() > np.pi / 3 - 1e-4
+    assert ang.max() < 2 * np.pi / 3 + 1e-4

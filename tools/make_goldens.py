@@ -163,7 +163,129 @@ def make_igso3_goldens():
     print("igso3.npz written")
 
 
+def _stub_ddpm_helpers():
+    """The reference imports helpers from a git submodule that is not checked
+    out in this snapshot (``diffusion.py:8-14``; ``.gitmodules``).  Provide
+    the standard lucidrains semantics so the reference classes import."""
+    import types
+
+    import torch as _torch
+
+    def extract(a, t, x_shape):
+        b, *_ = t.shape
+        out = a.gather(-1, t)
+        return out.reshape(b, *((1,) * (len(x_shape) - 1)))
+
+    def exists(x):
+        return x is not None
+
+    def default(val, d):
+        if exists(val):
+            return val
+        return d() if callable(d) else d
+
+    def noise_like(shape, device, repeat=False):
+        return _torch.randn(shape, device=device)
+
+    def cosine_beta_schedule(timesteps, s=0.008):
+        steps = timesteps + 1
+        x = np.linspace(0, timesteps, steps)
+        alphas_cumprod = (
+            np.cos(((x / timesteps) + s) / (1 + s) * np.pi * 0.5) ** 2
+        )
+        alphas_cumprod = alphas_cumprod / alphas_cumprod[0]
+        betas = 1 - (alphas_cumprod[1:] / alphas_cumprod[:-1])
+        return np.clip(betas, 0, 0.999)
+
+    pkg = types.ModuleType("denoising_diffusion_pytorch")
+    mod = types.ModuleType("denoising_diffusion_pytorch.denoising_diffusion_pytorch")
+    for f in (extract, exists, default, noise_like, cosine_beta_schedule):
+        setattr(mod, f.__name__, f)
+    pkg.denoising_diffusion_pytorch = mod
+    sys.modules["denoising_diffusion_pytorch"] = pkg
+    sys.modules["denoising_diffusion_pytorch.denoising_diffusion_pytorch"] = mod
+
+
+def make_process_goldens():
+    """Deterministic process math from the reference classes, driven with an
+    identical betas array so schedule buffers line up."""
+    _stub_ddpm_helpers()
+    sys.path.insert(0, REPO)
+    from diffusion_extensions_tpu.processes.schedule import cosine_beta_schedule
+
+    import diffusion as ref_diff  # reference module
+
+    betas = cosine_beta_schedule(100)  # small T for compact goldens
+    ident = torch.nn.Identity()
+
+    g = ref_diff.GaussianDiffusion(
+        ident, image_size=None, timesteps=100, betas=betas
+    )
+    rng = np.random.default_rng(42)
+    t = torch.from_numpy(rng.integers(0, 100, size=(16,)))
+    x = torch.from_numpy(rng.standard_normal((16, 3)).astype(np.float32))
+    noise = torch.from_numpy(rng.standard_normal((16, 3)).astype(np.float32))
+    q_samp = g.q_sample(x, t, noise)
+    pred_x0 = g.predict_start_from_noise(x, t, noise)
+    post_mean, post_var, post_logvar = g.q_posterior(x, q_samp, t)
+
+    s = ref_diff.SO3Diffusion(ident, timesteps=100, betas=betas)
+    rots = random_rotations(rng, 16)
+    rots_noise = random_rotations(rng, 16)
+    tr, trn = torch.from_numpy(rots), torch.from_numpy(rots_noise)
+    so3_q_samp = s.q_sample(tr, t, trn)
+    nv = torch.from_numpy(rng.standard_normal((16, 3)).astype(np.float32))
+    so3_pred_x0 = s.predict_start_from_noise(tr, t, nv)
+    so3_post_mean, _, _ = s.q_posterior(tr, so3_q_samp, t)
+
+    e = ref_diff.SE3Diffusion(ident, timesteps=100, betas=betas)
+    import util as ref_util
+
+    shift = torch.from_numpy(rng.standard_normal((16, 3)).astype(np.float32))
+    shift_n = torch.from_numpy(rng.standard_normal((16, 3)).astype(np.float32))
+    aff = ref_util.AffineT(tr, shift)
+    aff_n = ref_util.AffineT(trn, shift_n)
+    se3_q = e.q_sample(aff, t, aff_n)
+    grad = ref_util.AffineGrad(nv, shift_n)
+    se3_pred = e.predict_start_from_noise(aff, t, grad)
+
+    np.savez(
+        os.path.join(OUT, "processes.npz"),
+        betas=betas.astype(np.float32),
+        sqrt_acp=t2n(g.sqrt_alphas_cumprod),
+        sqrt_om_acp=t2n(g.sqrt_one_minus_alphas_cumprod),
+        sqrt_recip_acp=t2n(g.sqrt_recip_alphas_cumprod),
+        sqrt_recipm1_acp=t2n(g.sqrt_recipm1_alphas_cumprod),
+        post_var_buf=t2n(g.posterior_variance),
+        post_logvar_buf=t2n(g.posterior_log_variance_clipped),
+        post_c1=t2n(g.posterior_mean_coef1),
+        post_c2=t2n(g.posterior_mean_coef2),
+        t=t.numpy(),
+        x=t2n(x),
+        noise=t2n(noise),
+        q_samp=t2n(q_samp),
+        pred_x0=t2n(pred_x0),
+        post_mean=t2n(post_mean),
+        post_var=t2n(post_var),
+        post_logvar=t2n(post_logvar),
+        rots=rots,
+        rots_noise=rots_noise,
+        noise_vec=t2n(nv),
+        so3_q_samp=t2n(so3_q_samp),
+        so3_pred_x0=t2n(so3_pred_x0),
+        so3_post_mean=t2n(so3_post_mean),
+        shift=t2n(shift),
+        shift_n=t2n(shift_n),
+        se3_q_rot=t2n(se3_q.rot),
+        se3_q_shift=t2n(se3_q.shift),
+        se3_pred_rot=t2n(se3_pred.rot),
+        se3_pred_shift=t2n(se3_pred.shift),
+    )
+    print("processes.npz written")
+
+
 if __name__ == "__main__":
     os.makedirs(OUT, exist_ok=True)
     make_so3_goldens()
     make_igso3_goldens()
+    make_process_goldens()

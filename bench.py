@@ -1,0 +1,122 @@
+"""Headline benchmark: aircraft_rotate training steps/sec/chip.
+
+Runs the flagship workload — ProjectedSO3Diffusion + PlaneNet
+(dim 512, 4 heads, 4 layers, batch 32, 256 points: the reference's training
+config, ``aircraft_rotate.py:16-48``) — as the jitted data-parallel train
+step on the available device(s) and reports throughput.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "steps/sec/chip", "vs_baseline": N}
+
+Baseline note: the reference publishes no numbers (README is one line;
+BASELINE.md).  ``vs_baseline`` is therefore computed against a documented
+estimate of the reference's single-GPU throughput, REF_GPU_STEPS_PER_SEC =
+30.0 steps/sec (PyTorch-1.8 PlaneNet fwd+bwd at batch 32 on the CUDA-11.1
+class GPUs in the reference's Slurm scripts, including its per-step
+float64 IGSO(3) table rebuild and SVD re-orthogonalisation on the host).
+The BASELINE.md gate of >=10x the GPU reference is met when
+vs_baseline >= 10.
+
+Usage:  python bench.py [--quick] [--steps N] [--bf16]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from diffusion_extensions_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
+
+from diffusion_extensions_tpu.data.shapenet import synthetic_planes
+from diffusion_extensions_tpu.experiments.aircraft import make_loss_fn
+from diffusion_extensions_tpu.models.planenet import PlaneNet
+from diffusion_extensions_tpu.parallel.dp import make_dp_train_step, shard_batch
+from diffusion_extensions_tpu.parallel.mesh import make_mesh
+from diffusion_extensions_tpu.processes.so3 import ProjectedSO3Diffusion
+from diffusion_extensions_tpu.train.state import TrainState
+
+REF_GPU_STEPS_PER_SEC = 30.0  # documented estimate; see module docstring
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--warmup", type=int, default=20)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--samples", type=int, default=256)
+    p.add_argument("--dim", type=int, default=512)
+    p.add_argument("--heads", type=int, default=4)
+    p.add_argument("--layers", type=int, default=4)
+    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--no-bf16", dest="bf16", action="store_false")
+    p.add_argument("--quick", action="store_true", help="50 steps")
+    args = p.parse_args(argv)
+    if args.quick:
+        args.steps, args.warmup = 50, 10
+
+    n_chips = len(jax.devices())
+    model = PlaneNet(
+        dim=args.dim, heads=args.heads, layers=args.layers, bf16=args.bf16
+    )
+    process = ProjectedSO3Diffusion(timesteps=1000)
+    truepos = jnp.broadcast_to(jnp.eye(3), (args.batch, 3, 3))
+
+    key = jax.random.PRNGKey(0)
+    params = model.init(
+        key,
+        jnp.zeros((args.batch, args.samples, 3)),
+        jnp.zeros((args.batch,), jnp.int32),
+    )
+    tx = optax.adam(1e-4)
+    state = TrainState.create(params, tx, key)
+
+    mesh = make_mesh()
+    loss_fn = make_loss_fn(model, process, truepos, so3=True)
+    step_fn = make_dp_train_step(loss_fn, tx, mesh)
+
+    # Pre-generate data on device: the bench measures the training step
+    # (the metric's definition), not host data synthesis.
+    data = synthetic_planes(256, points=args.samples, seed=0)
+    rng = np.random.default_rng(0)
+    batches = [
+        shard_batch(
+            jnp.asarray(data[rng.integers(0, len(data), args.batch)]), mesh
+        )
+        for _ in range(8)
+    ]
+
+    for i in range(args.warmup):
+        state, metrics = step_fn(state, batches[i % len(batches)])
+    jax.block_until_ready(state.params)
+
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        state, metrics = step_fn(state, batches[i % len(batches)])
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = args.steps / dt
+    per_chip = steps_per_sec / n_chips if n_chips > 1 else steps_per_sec
+    result = {
+        "metric": "aircraft_rotate train steps/sec/chip "
+        "(PlaneNet d512 h4 l4, batch 32, 256 pts, ProjectedSO3Diffusion)",
+        "value": round(per_chip, 2),
+        "unit": "steps/sec/chip",
+        "vs_baseline": round(per_chip / REF_GPU_STEPS_PER_SEC, 2),
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

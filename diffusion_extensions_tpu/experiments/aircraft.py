@@ -1,0 +1,250 @@
+"""Aircraft rotational alignment — the north-star benchmark workload.
+
+TPU-native equivalent of ``aircraft_rotate.py`` (train) and
+``aircraft_test.py`` + ``aircraft_diags.py`` (eval):
+
+    python -m diffusion_extensions_tpu.experiments.aircraft --so3 --steps 10000
+    python -m diffusion_extensions_tpu.experiments.aircraft --so3 --test
+
+Same knobs as the reference (batch/lr/samples/dim/heads/layers/--so3,
+``aircraft_rotate.py:14-55``).  The state is the identity rotation (or zero
+euler) and the denoiser sees the point cloud rendered through the projection
+``data @ R^T``; training is one jitted DP step over the device mesh.
+
+Falls back to ``synthetic_planes`` when the ShapeNet HDF5 files are absent
+(training/bench exercise the identical compute path).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.shapenet import BatchLoader, ShapeNet, synthetic_planes
+from ..models.planenet import PlaneNet
+from ..models.projections import PointCloudProj
+from ..ops.so3 import haar_rotations, rmat_to_aa, rmat_to_euler, euler_to_rmat
+from ..parallel.dp import make_dp_train_step, shard_batch
+from ..parallel.mesh import make_mesh
+from ..processes.r3 import ProjectedGaussianDiffusion
+from ..processes.so3 import ProjectedSO3Diffusion
+from ..train.loop import MetricLogger, Throughput
+from ..train.state import TrainState, restore_checkpoint, save_checkpoint
+
+SAMPLES_PER_SHAPE = 8  # aircraft_test.py:9
+
+
+def load_data(split: str, args) -> np.ndarray:
+    try:
+        ds = ShapeNet(split, (0,), root=args.data_root)
+        return ds.data
+    except (FileNotFoundError, OSError):
+        n = 1024 if split == "train" else 128
+        seed = {"train": 0, "valid": 1, "test": 2}[split]
+        print(f"ShapeNet not found under {args.data_root}; "
+              f"using synthetic_planes({n}) for split={split}")
+        return synthetic_planes(n, seed=seed)
+
+
+def build(args):
+    model = PlaneNet(
+        dim=args.dim, heads=args.heads, layers=args.layers, bf16=args.bf16
+    )
+    if args.so3:
+        process = ProjectedSO3Diffusion(timesteps=args.timesteps)
+        truepos = jnp.broadcast_to(jnp.eye(3), (args.batch, 3, 3))
+    else:
+        process = ProjectedGaussianDiffusion(timesteps=args.timesteps)
+        truepos = jnp.zeros((args.batch, 3))
+    return model, process, truepos
+
+
+def make_loss_fn(model, process, truepos, so3: bool):
+    def loss_fn(params, key, batch):
+        proj = PointCloudProj(batch, so3=so3)
+        b = batch.shape[0]
+        return process.loss(
+            lambda x, t: model.apply(params, x, t),
+            key,
+            truepos[:b],
+            projection=proj,
+        )
+
+    return loss_fn
+
+
+def train(args):
+    model, process, truepos = build(args)
+    key = jax.random.PRNGKey(args.seed)
+    key, init_key = jax.random.split(key)
+    x_init = jnp.zeros((args.batch, args.samples, 3))
+    t_init = jnp.zeros((args.batch,), dtype=jnp.int32)
+    params = model.init(init_key, x_init, t_init)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    print(f"PlaneNet params: {n_params/1e6:.2f}M")
+    tx = optax.adam(args.lr)
+    state = TrainState.create(params, tx, key)
+    if args.resume:
+        state = restore_checkpoint(args.ckpt, state)
+
+    mesh = make_mesh()
+    loss_fn = make_loss_fn(model, process, truepos, args.so3)
+    step_fn = make_dp_train_step(loss_fn, tx, mesh)
+
+    train_data = load_data("train", args)
+    loader = iter(
+        BatchLoader(train_data, args.batch, samples=args.samples, seed=args.seed)
+    )
+
+    # Frozen validation probe (reference: aircraft_rotate.py:83-101): fixed
+    # (t, noise, batch); per-cycle denoiser MSE against the frozen target.
+    val_data = load_data("valid", args)
+    v_batch = jnp.asarray(val_data[: args.batch, : args.samples])
+    t_v = jax.random.randint(
+        jax.random.PRNGKey(7), (args.batch,), 0, process.num_timesteps
+    )
+    from ..processes.schedule import extract
+    from ..ops.so3 import log_rmat_vec
+
+    eps_v = extract(process.schedule.sqrt_one_minus_alphas_cumprod, t_v)
+    if args.so3:
+        noise_v = process.q_table.sample(jax.random.PRNGKey(8), t_v)
+        x_noisy_v = process.q_sample(truepos, t_v, noise_v)
+        target_v = log_rmat_vec(noise_v) / eps_v[..., None]
+    else:
+        noise_v = jax.random.normal(jax.random.PRNGKey(8), (args.batch, 3))
+        x_noisy_v = process.q_sample(truepos, t_v, noise_v)
+        target_v = noise_v
+    proj_x_noisy_v = PointCloudProj(v_batch, so3=args.so3)(x_noisy_v)
+
+    @jax.jit
+    def val_loss(params):
+        pred = model.apply(params, proj_x_noisy_v, t_v)
+        return jnp.mean((pred - target_v) ** 2)
+
+    logger = MetricLogger(jsonl_path=args.log, print_every=args.print_every)
+    meter = Throughput()
+    for i in range(int(state.step), args.steps):
+        batch = shard_batch(next(loader), mesh)
+        state, metrics = step_fn(state, batch)
+        meter.tick()
+        if (i + 1) % args.print_every == 0:
+            logger.log(
+                i + 1,
+                {
+                    "loss": metrics["loss"],
+                    "test_loss": val_loss(state.params),
+                    "steps_per_sec": meter.steps_per_sec or float("nan"),
+                },
+            )
+        if (i + 1) % args.ckpt_every == 0 or (i + 1) == args.steps:
+            save_checkpoint(args.ckpt, state)
+    return state
+
+
+def test(args):
+    """Per-shape 8-sample angle-error percentile table
+    (``aircraft_test.py:71-99`` + ``aircraft_diags.py:17-23``)."""
+    model, process, truepos = build(args)
+    key = jax.random.PRNGKey(args.seed)
+    params = model.init(
+        key,
+        jnp.zeros((1, args.samples, 3)),
+        jnp.zeros((1,), jnp.int32),
+    )
+    tx = optax.adam(args.lr)
+    state = restore_checkpoint(args.ckpt, TrainState.create(params, tx, key))
+    if int(state.step) == 0:
+        print("warning: no checkpoint found; evaluating untrained model")
+    denoise = lambda x, t: model.apply(state.params, x, t)
+
+    test_data = load_data("test", args)[:, : args.samples]
+    results = []
+
+    @jax.jit
+    def sample_batch(k, batch):
+        proj = PointCloudProj(batch, so3=args.so3)
+        if args.so3:
+            return process.p_sample_loop(denoise, k, (batch.shape[0],), proj)
+        eul = process.p_sample_loop(
+            denoise, k, (batch.shape[0], 3), projection=proj
+        )
+        return euler_to_rmat(eul[..., 0], eul[..., 1], eul[..., 2])
+
+    for b in range(0, len(test_data), args.batch):
+        batch = jnp.asarray(test_data[b : b + args.batch])
+        for s in range(SAMPLES_PER_SHAPE):
+            k = jax.random.fold_in(jax.random.PRNGKey(args.seed + 1), b * 100 + s)
+            rots = sample_batch(k, batch)
+            _, angle = rmat_to_aa(rots)
+            results.append(np.asarray(angle)[..., 0])
+        if args.max_shapes and b + args.batch >= args.max_shapes:
+            break
+
+    res = np.stack(results, axis=-1).ravel()
+    diff_type = "so3" if args.so3 else "eul"
+    out_path = os.path.join(
+        os.path.dirname(args.ckpt) or ".", f"results_aircraft_{diff_type}.npy"
+    )
+    np.save(out_path, res)
+    pcts = (1, 5, 10, 50, 90, 95, 99)
+    res_sorted = np.sort(res)
+    idxs = [int(len(res_sorted) * p / 100) for p in pcts]
+    print(f"{len(res)} samples ({diff_type}); angle-error percentiles (rad):")
+    print("percentiles " + " ".join(f"& {p}%" for p in pcts) + r" \\")
+    print(
+        diff_type
+        + " "
+        + " ".join(f"& {res_sorted[i]:.2f}" for i in idxs)
+        + r" \\"
+    )
+    return res
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Aircraft rotation args")
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--samples", type=int, default=256)
+    p.add_argument("--dim", type=int, default=512)
+    p.add_argument("--heads", type=int, default=4)
+    p.add_argument("--layers", type=int, default=4)
+    p.add_argument("--so3", action="store_true")
+    p.add_argument("--bf16", action="store_true",
+                   help="run transformer matmuls in bfloat16 on the MXU")
+    p.add_argument("--timesteps", type=int, default=1000)
+    p.add_argument("--steps", type=int, default=1_000_000)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--data-root", dest="data_root", type=str,
+                   default="data/shapenetcorev2_hdf5_2048")
+    p.add_argument("--ckpt", type=str, default=None)
+    p.add_argument("--ckpt-every", dest="ckpt_every", type=int, default=1000)
+    p.add_argument("--print-every", dest="print_every", type=int, default=10)
+    p.add_argument("--log", type=str, default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--test", action="store_true")
+    p.add_argument("--max-shapes", dest="max_shapes", type=int, default=None)
+    args = p.parse_args(argv)
+    if args.ckpt is None:
+        args.ckpt = f"weights/aircraft_{'so3' if args.so3 else 'eul'}"
+    return args
+
+
+def main(argv=None):
+    from ..utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    args = parse_args(argv)
+    if args.test:
+        test(args)
+    else:
+        train(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,153 @@
+"""Bingham density matching: train SO(3) diffusion on projected-Gaussian
+quaternion samples, evaluate sample fidelity by MMD.
+
+TPU-native equivalent of ``bingham_train.py`` and ``bingham_test.py``:
+
+    python -m diffusion_extensions_tpu.experiments.bingham sur --steps 100000
+    python -m diffusion_extensions_tpu.experiments.bingham sur --test
+
+Covariance presets sur/scr/lcr/lur (``bingham_train.py:54-78``).  Test mode
+draws 20k target + 20k model samples and reports
+MMD(model, target, rmat_gaussian_kernel) (``bingham_test.py:7-9,29``) — no
+multiprocessing pool needed: the sampler batch and the chunked MMD matmuls
+saturate one chip.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.synthetic import BINGHAM_COVS, bingham_dist
+from ..models.rot_predict import RotPredict
+from ..ops.metrics import gaussian_kernel_matrix, mmd
+from ..ops.so3 import quat_to_rmat
+from ..parallel.dp import make_dp_train_step, shard_batch
+from ..parallel.mesh import make_mesh
+from ..processes.so3 import SO3Diffusion
+from ..train.loop import MetricLogger, Throughput
+from ..train.state import TrainState, restore_checkpoint, save_checkpoint
+
+SAMPLES = 20_000  # bingham_test.py:7
+NET_SAMPLES = 20_000
+MMD_CHUNK = 4_000  # bingham_test.py:29
+
+
+def build(args):
+    model = RotPredict(d_model=65, out_type="skewvec")
+    process = SO3Diffusion.create(args.timesteps, loss_type="skewvec")
+    return model, process
+
+
+def train(args):
+    model, process = build(args)
+    dist = bingham_dist(args.cov)
+    key = jax.random.PRNGKey(args.seed)
+    key, init_key = jax.random.split(key)
+    params = model.init(
+        init_key, jnp.zeros((args.batch, 3, 3)), jnp.zeros((args.batch,), jnp.int32)
+    )
+    tx = optax.adam(args.lr)
+    state = TrainState.create(params, tx, key)
+    if args.resume:
+        state = restore_checkpoint(args.ckpt, state)
+    mesh = make_mesh()
+
+    def loss_fn(params, key, batch):
+        return process.loss(lambda x, t: model.apply(params, x, t), key, batch)
+
+    step_fn = make_dp_train_step(loss_fn, tx, mesh)
+
+    @jax.jit
+    def make_batch(k):
+        return quat_to_rmat(dist.sample(k, (args.batch,)))
+
+    logger = MetricLogger(jsonl_path=args.log, print_every=args.print_every)
+    meter = Throughput()
+    data_key = jax.random.PRNGKey(args.seed + 1)
+    for i in range(int(state.step), args.steps):
+        data_key, k = jax.random.split(data_key)
+        batch = shard_batch(make_batch(k), mesh)
+        state, metrics = step_fn(state, batch)
+        meter.tick()
+        if (i + 1) % args.print_every == 0:
+            logger.log(
+                i + 1,
+                {"loss": metrics["loss"],
+                 "steps_per_sec": meter.steps_per_sec or float("nan")},
+            )
+        if (i + 1) % args.ckpt_every == 0 or (i + 1) == args.steps:
+            save_checkpoint(args.ckpt, state)
+    return state
+
+
+def test(args):
+    model, process = build(args)
+    dist = bingham_dist(args.cov)
+    key = jax.random.PRNGKey(args.seed)
+    params = model.init(key, jnp.zeros((1, 3, 3)), jnp.zeros((1,), jnp.int32))
+    state = restore_checkpoint(
+        args.ckpt, TrainState.create(params, optax.adam(args.lr), key)
+    )
+    if int(state.step) == 0:
+        print("warning: no checkpoint found; evaluating untrained model")
+    denoise = lambda x, t: model.apply(state.params, x, t)
+
+    bing_samples = quat_to_rmat(
+        dist.sample(jax.random.PRNGKey(args.seed + 2), (SAMPLES,))
+    )
+    runs = SAMPLES // NET_SAMPLES
+    sampler = jax.jit(
+        lambda k: process.p_sample_loop(denoise, k, (NET_SAMPLES,))
+    )
+    chunks = [
+        sampler(jax.random.fold_in(jax.random.PRNGKey(args.seed + 3), i))
+        for i in range(runs)
+    ]
+    diff_samples = jnp.concatenate(chunks, axis=0)
+    val = float(
+        mmd(bing_samples, diff_samples, gaussian_kernel_matrix, chunksize=MMD_CHUNK)
+    )
+    print(json.dumps({"cov": args.cov, "mmd": val, "count": SAMPLES}))
+    with open(f"bingham_mmd_{args.cov}.json", "w") as f:
+        json.dump({"mmd": val, "count": SAMPLES}, f)
+    return val
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Bingham density matching")
+    p.add_argument("cov", choices=sorted(BINGHAM_COVS), help="covariance preset")
+    p.add_argument("--batch", type=int, default=64)  # bingham_train.py:50
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--steps", type=int, default=100_000)
+    p.add_argument("--timesteps", type=int, default=1000)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--ckpt", type=str, default=None)
+    p.add_argument("--ckpt-every", dest="ckpt_every", type=int, default=1000)
+    p.add_argument("--print-every", dest="print_every", type=int, default=10)
+    p.add_argument("--log", type=str, default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--test", action="store_true")
+    args = p.parse_args(argv)
+    if args.ckpt is None:
+        args.ckpt = f"weights/bingham_{args.cov}"
+    return args
+
+
+def main(argv=None):
+    from ..utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    args = parse_args(argv)
+    if args.test:
+        test(args)
+    else:
+        train(args)
+
+
+if __name__ == "__main__":
+    main()

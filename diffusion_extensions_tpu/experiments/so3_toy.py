@@ -128,6 +128,9 @@ def parse_args(argv=None):
 
 
 def main(argv=None):
+    from ..utils import enable_compilation_cache
+
+    enable_compilation_cache()
     args = parse_args(argv)
     if args.test:
         test(args)

@@ -1,0 +1,144 @@
+"""End-to-end smoke tests: every experiment driver trains a few steps and
+evaluates on CPU with tiny configs (the reference has no such tests; SURVEY
+§4 calls for CPU-runnable end-to-end smoke)."""
+import os
+
+import numpy as np
+import pytest
+
+
+def test_so3_toy_train_and_test(tmp_path, capsys):
+    from diffusion_extensions_tpu.experiments import so3_toy
+
+    ckpt = os.path.join(str(tmp_path), "ck")
+    so3_toy.main(
+        ["--steps", "12", "--batch", "16", "--timesteps", "20",
+         "--ckpt", ckpt, "--ckpt-every", "12", "--print-every", "6"]
+    )
+    so3_toy.main(
+        ["--test", "--eval-batch", "32", "--timesteps", "20", "--ckpt", ckpt]
+    )
+    out = capsys.readouterr().out
+    assert "percentiles" in out
+
+
+def test_lock_both_params(tmp_path, capsys):
+    from diffusion_extensions_tpu.experiments import lock
+
+    for param in ("so3", "euler"):
+        ckpt = os.path.join(str(tmp_path), f"ck_{param}")
+        lock.main(
+            ["--param", param, "--steps", "6", "--batch", "8",
+             "--timesteps", "10", "--ckpt", ckpt, "--ckpt-every", "6"]
+        )
+        cwd = os.getcwd()
+        os.chdir(str(tmp_path))
+        try:
+            lock.main(
+                ["--param", param, "--test", "--eval-batch", "16",
+                 "--timesteps", "10", "--ckpt", ckpt]
+            )
+        finally:
+            os.chdir(cwd)
+    out = capsys.readouterr().out
+    assert "axis.y" in out
+
+
+def test_bingham_train(tmp_path):
+    from diffusion_extensions_tpu.experiments import bingham
+
+    ckpt = os.path.join(str(tmp_path), "ck")
+    bingham.main(
+        ["sur", "--steps", "6", "--batch", "16", "--timesteps", "10",
+         "--ckpt", ckpt, "--ckpt-every", "6"]
+    )
+
+
+def test_aircraft_train_synthetic(tmp_path, capsys):
+    from diffusion_extensions_tpu.experiments import aircraft
+
+    ckpt = os.path.join(str(tmp_path), "ck")
+    aircraft.main(
+        ["--so3", "--steps", "4", "--batch", "8", "--samples", "32",
+         "--dim", "64", "--heads", "2", "--layers", "1",
+         "--timesteps", "10", "--ckpt", ckpt, "--ckpt-every", "4",
+         "--print-every", "2", "--data-root", "/nonexistent"]
+    )
+    out = capsys.readouterr().out
+    assert "synthetic_planes" in out
+
+
+def test_aircraft_euler_variant(tmp_path):
+    from diffusion_extensions_tpu.experiments import aircraft
+
+    ckpt = os.path.join(str(tmp_path), "ck_eul")
+    aircraft.main(
+        ["--steps", "3", "--batch", "8", "--samples", "32",
+         "--dim", "64", "--heads", "2", "--layers", "1",
+         "--timesteps", "10", "--ckpt", ckpt, "--ckpt-every", "3",
+         "--data-root", "/nonexistent"]
+    )
+
+
+def test_jigsaw_train(tmp_path):
+    from diffusion_extensions_tpu.experiments import jigsaw
+
+    ckpt = os.path.join(str(tmp_path), "ck")
+    jigsaw.main(
+        ["--steps", "2", "--batch", "4", "--size", "128",
+         "--timesteps", "10", "--ckpt", ckpt, "--ckpt-every", "2"]
+    )
+
+
+def test_protein_both_variants(tmp_path, capsys):
+    from diffusion_extensions_tpu.experiments import protein
+
+    for flag in (["--se3"], []):
+        ckpt = os.path.join(str(tmp_path), f"ck_{'se3' if flag else 'eul'}")
+        protein.main(
+            flag + ["--steps", "3", "--batch", "2", "--dim", "32",
+                    "--heads", "2", "--t_depth", "1", "--c_depth", "3",
+                    "--timesteps", "10", "--ckpt", ckpt,
+                    "--data-root", "/nonexistent"]
+        )
+    out = capsys.readouterr().out
+    assert "synthetic protein pairs" in out
+
+
+def test_protein_epoch_accum(tmp_path):
+    from diffusion_extensions_tpu.experiments import protein
+
+    ckpt = os.path.join(str(tmp_path), "ck_accum")
+    protein.main(
+        ["--se3", "--epoch-accum", "--steps", "3", "--batch", "2",
+         "--dim", "32", "--heads", "2", "--t_depth", "1", "--c_depth", "3",
+         "--timesteps", "10", "--ckpt", ckpt, "--data-root", "/nonexistent"]
+    )
+
+
+def test_bench_importable():
+    import importlib.util
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(os.path.dirname(__file__)), "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert hasattr(mod, "main")
+
+
+def test_graft_entry_importable():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "__graft_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, args = mod.entry()
+    import jax
+
+    out = jax.jit(fn)(*args)
+    assert out.shape == (8, 3)

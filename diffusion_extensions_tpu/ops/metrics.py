@@ -68,15 +68,29 @@ def rmat_gaussian_kernel(m1: jax.Array, m2: jax.Array) -> jax.Array:
 
 
 def pairwise_rotation_angle(x: jax.Array, y: jax.Array) -> jax.Array:
-    """(N, M) matrix of geodesic angles theta(X_n, Y_m) via MXU bilinears."""
-    # G[n, m, i, j] = sum_k X[n, k, i] * Y[m, k, j]
-    g = jnp.einsum(
-        "nki,mkj->nmij", x, y, preferred_element_type=jnp.float32, precision=MM
-    )
-    tra = g[..., 0, 0] + g[..., 1, 1] + g[..., 2, 2]
-    sx = g[..., 2, 1] - g[..., 1, 2]
-    sy = g[..., 0, 2] - g[..., 2, 0]
-    sz = g[..., 1, 0] - g[..., 0, 1]
+    """(N, M) matrix of geodesic angles theta(X_n, Y_m) via MXU bilinears.
+
+    Four (N, M) matmuls — trace and the three skew components of X^T Y —
+    instead of materialising the (N, M, 3, 3) relative-rotation tensor
+    (which at 4000^2 chunks would be 2.3 GB of HBM traffic per block):
+
+        trace(X^T Y)        = <X, Y>_F                  -> Xf @ Yf^T
+        (X^T Y)_{ab}-(X^T Y)_{ba} = <X_:b, Y_:a> - <X_:a, Y_:b>
+                                               -> [X_:b, -X_:a] @ [Y_:a, Y_:b]^T
+    """
+    xf = x.reshape(*x.shape[:-2], 9)
+    yf = y.reshape(*y.shape[:-2], 9)
+    tra = jnp.matmul(xf, yf.T, precision=MM)
+
+    def skew_comp(a: int, b: int) -> jax.Array:
+        # g[b, a] - g[a, b] with g = X^T Y (columns X_:i are x[..., :, i])
+        u = jnp.concatenate((x[..., :, b], -x[..., :, a]), axis=-1)  # (N, 6)
+        v = jnp.concatenate((y[..., :, a], y[..., :, b]), axis=-1)  # (M, 6)
+        return jnp.matmul(u, v.T, precision=MM)
+
+    sx = skew_comp(1, 2)  # g21 - g12
+    sy = skew_comp(2, 0)  # g02 - g20
+    sz = skew_comp(0, 1)  # g10 - g01
     s_angle = 0.5 * jnp.sqrt(sx * sx + sy * sy + sz * sz)
     c_angle = 0.5 * (tra - 1.0)
     return jnp.arctan2(s_angle, c_angle)

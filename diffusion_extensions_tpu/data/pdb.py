@@ -179,6 +179,31 @@ def synthetic_prot_pair(
     return mk(n_rec, np.zeros(3)), mk(n_lig, np.array([20.0, 0.0, 0.0]))
 
 
+def transform_pdb(in_path, out_path, rot: np.ndarray, shift: np.ndarray):
+    """Rewrite a PDB file with every atom coordinate transformed by
+    ``x -> x @ rot^T + shift`` (the ``Bio.PDB`` ``structure.transform``
+    semantics used by ``pdb_path_gen.py:40-43``), preserving all other
+    columns byte-for-byte."""
+    rot = np.asarray(rot, dtype=np.float64)
+    shift = np.asarray(shift, dtype=np.float64)
+    out_lines = []
+    with open(in_path) as f:
+        for line in f:
+            if line.startswith(("ATOM", "HETATM")) and len(line) >= 54:
+                xyz = np.array(
+                    [float(line[30:38]), float(line[38:46]), float(line[46:54])]
+                )
+                nx, ny, nz = xyz @ rot.T + shift
+                line = (
+                    line[:30]
+                    + f"{nx:8.3f}{ny:8.3f}{nz:8.3f}"
+                    + line[54:]
+                )
+            out_lines.append(line)
+    with open(out_path, "w") as f:
+        f.writelines(out_lines)
+
+
 def random_affine_np(rng: np.random.Generator):
     """Haar-QR rotation + unit normal shift (augmentation,
     ``prot_train.py:95-100``)."""

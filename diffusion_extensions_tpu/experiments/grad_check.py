@@ -1,0 +1,106 @@
+"""Tangent-projection gradient experiment (reference ``grad_test.py``).
+
+Demonstrates/validates the identity behind "projected diffusion" training:
+pulling the data-space gradient of the projection ``P(R) = data @ R^T`` back
+to the rotation via VJP and projecting ``(dL/dR) R^T`` onto its
+skew-symmetric part recovers the tangent (skew-vec) gradient — i.e. the
+denoiser can be supervised in data space and still learn tangent targets
+(``grad_test.py:60-76``).
+
+Run:  python -m diffusion_extensions_tpu.experiments.grad_check
+"""
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.shapenet import synthetic_planes
+from ..ops.so3 import log_rmat, rmul, skew2vec
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--iters", type=int, default=2000)
+    p.add_argument("--lr", type=float, default=1e-2)
+    args = p.parse_args(argv)
+
+    data = jnp.asarray(synthetic_planes(1, points=512, seed=0))  # (1, N, 3)
+    rot = jnp.asarray(
+        [[[1.0, 0.0, 0.0], [0.0, 0.0, -1.0], [0.0, 1.0, 0.0]]]
+    )  # pi/2 about x (grad_test.py:47-50)
+    log_rot = log_rmat(rot)
+    rot_grad = rmul(log_rot, rot)
+    skew_targ = skew2vec(log_rot)  # analytic tangent gradient
+
+    def project(r):
+        return jnp.matmul(data, jnp.swapaxes(r, -1, -2))
+
+    proj_data = project(rot)
+    proj_grads = jnp.matmul(data, jnp.swapaxes(rot_grad, -1, -2))
+
+    # VJP: pull the data-space gradient field back to the rotation.
+    _, vjp = jax.vjp(project, rot)
+    (r_grad,) = vjp(proj_grads)
+    s_v = rmul(r_grad, jnp.swapaxes(rot, -1, -2))
+    skew_part = 0.5 * (s_v - jnp.swapaxes(s_v, -1, -2))
+    sym_part = 0.5 * (s_v + jnp.swapaxes(s_v, -1, -2))
+    predict = skew2vec(skew_part)
+
+    # Diagnostic: the naive pullback is log_rot @ (R D^T D R^T) — the data
+    # covariance D^T D skews both the direction and the symmetric part, so
+    # it is NOT the analytic tangent (this anisotropy is exactly why the
+    # reference *optimises* a free data-space gradient field instead of
+    # using the pullback directly).
+    n = data.shape[1]
+    scale = float(
+        jnp.vdot(predict, skew_targ) / jnp.maximum(jnp.vdot(skew_targ, skew_targ), 1e-12)
+    )
+    sym_frac = float(jnp.linalg.norm(sym_part) / jnp.linalg.norm(s_v))
+    print(f"naive pullback: scale vs target {scale:.3f}, "
+          f"symmetric-part fraction {sym_frac:.3f} (anisotropy of D^T D)")
+
+    # The reference additionally *trains* a free gradient field to match the
+    # analytic tangent under orthogonality/symmetry penalties
+    # (grad_test.py:60-83); reproduce that optimisation.
+    pred_grads = jax.random.normal(jax.random.PRNGKey(0), data.shape)
+    tx = optax.adam(args.lr)
+    opt_state = tx.init(pred_grads)
+
+    @jax.jit
+    def step(pred_grads, opt_state):
+        def loss_fn(pg):
+            orth_loss = jnp.mean(jnp.sum(proj_data * pg, axis=-1) ** 2)
+            _, vjp = jax.vjp(project, rot)
+            (rg,) = vjp(pg)
+            sv = rmul(rg, jnp.swapaxes(rot, -1, -2))
+            sv_proj = 0.5 * (sv - jnp.swapaxes(sv, -1, -2))
+            sym = 0.5 * (sv + jnp.swapaxes(sv, -1, -2))
+            sym_loss = jnp.mean(sym**2)
+            pred = skew2vec(sv_proj)  # unnormalised, as in the reference
+            return jnp.mean((pred - skew_targ) ** 2) + sym_loss + orth_loss
+
+        loss, g = jax.value_and_grad(loss_fn)(pred_grads)
+        updates, opt_state = tx.update(g, opt_state)
+        return optax.apply_updates(pred_grads, updates), opt_state, loss
+
+    first = None
+    for i in range(args.iters):
+        pred_grads, opt_state, loss = step(pred_grads, opt_state)
+        if first is None:
+            first = float(loss)
+        if (i + 1) % max(args.iters // 10, 1) == 0:
+            print(f"iter {i+1}: loss={float(loss):.6f}")
+    # the reference is a visual experiment with no success criterion
+    # (grad_test.py:60-118); require a meaningful decrease here
+    assert float(loss) < 0.5 * first, (
+        f"gradient-field optimisation did not improve: {first} -> {float(loss)}"
+    )
+    print(f"grad check passed: loss {first:.4f} -> {float(loss):.4f}")
+
+
+if __name__ == "__main__":
+    main()

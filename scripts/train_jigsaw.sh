@@ -1,0 +1,6 @@
+#!/bin/bash
+# Launcher for the jigsaw experiment (replaces slurm-scripts/ — single-host,
+# one process per host; multi-chip parallelism is in-process via the mesh).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+exec python -u -m diffusion_extensions_tpu.experiments.jigsaw  "$@"

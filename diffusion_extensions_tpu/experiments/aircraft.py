@@ -97,9 +97,25 @@ def train(args):
     step_fn = make_dp_train_step(loss_fn, tx, mesh)
 
     train_data = load_data("train", args)
-    loader = iter(
-        BatchLoader(train_data, args.batch, samples=args.samples, seed=args.seed)
-    )
+    loader = None
+    if not args.no_native:
+        try:
+            from ..data.native import NativeBatchLoader, native_available
+
+            if native_available():
+                loader = NativeBatchLoader(
+                    train_data, args.batch, samples=args.samples,
+                    seed=args.seed, n_threads=2,
+                )
+                print("using native threaded batch loader")
+        except Exception as e:
+            print(f"native loader unavailable ({e}); using numpy loader")
+    if loader is None:
+        loader = iter(
+            BatchLoader(
+                train_data, args.batch, samples=args.samples, seed=args.seed
+            )
+        )
 
     # Frozen validation probe (reference: aircraft_rotate.py:83-101): fixed
     # (t, noise, batch); per-cycle denoiser MSE against the frozen target.
@@ -217,6 +233,8 @@ def parse_args(argv=None):
     p.add_argument("--so3", action="store_true")
     p.add_argument("--bf16", action="store_true",
                    help="run transformer matmuls in bfloat16 on the MXU")
+    p.add_argument("--no-native", dest="no_native", action="store_true",
+                   help="disable the C++ threaded batch loader")
     p.add_argument("--timesteps", type=int, default=1000)
     p.add_argument("--steps", type=int, default=1_000_000)
     p.add_argument("--seed", type=int, default=0)

@@ -169,6 +169,65 @@ class SO3Diffusion:
         x, _ = jax.lax.scan(step, x0, steps)
         return x
 
+    def ddim_sample_loop(
+        self,
+        denoise_fn,
+        key,
+        shape,
+        num_steps: int = 50,
+        projection=None,
+        init=None,
+    ):
+        """Accelerated deterministic sampling (DDIM generalised to SO(3)) —
+        a capability beyond the reference's 1000-step ancestral chain
+        (``diffusion.py:328-337``).
+
+        The forward process is x_t = so3_scale(x0, sqrt(acp_t)) @ N_t with
+        N_t = exp(v * eps_t); DDIM keeps the predicted unit noise direction
+        v and jumps:  x_{t'} = so3_scale(x0_pred, sqrt(acp_t')) @
+        exp(v * eps_t').  ``num_steps`` model evaluations instead of T.
+        """
+        if isinstance(shape, int):
+            shape = (shape,)
+        b = shape[0]
+        if init is None:
+            init = "qr" if self.projected else "igso3"
+        key, init_key = jax.random.split(key)
+        if init == "qr":
+            x0 = haar_rotations(init_key, (b,))
+        else:
+            x0 = self.prior_table.sample(
+                init_key, jnp.zeros(shape, dtype=jnp.int32)
+            )
+
+        T = self.num_timesteps
+        ts = jnp.linspace(T - 1, 0, num_steps + 1).round().astype(jnp.int32)
+        s = self.schedule
+
+        def step(x, i):
+            t = jnp.full((b,), ts[i], dtype=jnp.int32)
+            t_prev = jnp.full((b,), ts[i + 1], dtype=jnp.int32)
+            x_in = projection(x) if projection is not None else x
+            v = denoise_fn(x_in, t)  # descaled noise direction (B, 3)
+            x_recon = self.predict_start_from_noise(x, t, v)
+            eps_prev = extract(s.sqrt_one_minus_alphas_cumprod, t_prev, 1)
+            noise_prev = exp_skewvec(v * eps_prev)
+            x_prev = rmul(
+                so3_scale(x_recon, extract(s.sqrt_alphas_cumprod, t_prev)),
+                noise_prev,
+            )
+            # duplicated grid points (num_steps ~ T): hold the clean estimate
+            x_prev = jnp.where(
+                (t_prev == t)[..., None, None], x_recon, x_prev
+            )
+            return x_prev, None
+
+        x, _ = jax.lax.scan(step, x0, jnp.arange(num_steps))
+        # final step: map to the clean x0 prediction (acp_{-1} = 1)
+        t0 = jnp.zeros((b,), dtype=jnp.int32)
+        x_in = projection(x) if projection is not None else x
+        return self.predict_start_from_noise(x, t0, denoise_fn(x_in, t0))
+
     # -- training --------------------------------------------------------
     def p_losses(self, denoise_fn, key, x_start, t, projection=None):
         """(reference: ``diffusion.py:348-369`` / projected ``:402-423``)"""

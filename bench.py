@@ -59,6 +59,8 @@ def main(argv=None):
     p.add_argument("--layers", type=int, default=4)
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--no-bf16", dest="bf16", action="store_false")
+    p.add_argument("--steps-per-call", dest="steps_per_call", type=int,
+                   default=8, help="fused optimizer steps per dispatch")
     p.add_argument("--quick", action="store_true", help="50 steps")
     args = p.parse_args(argv)
     if args.quick:
@@ -82,30 +84,33 @@ def main(argv=None):
 
     mesh = make_mesh()
     loss_fn = make_loss_fn(model, process, truepos, so3=True)
-    step_fn = make_dp_train_step(loss_fn, tx, mesh)
+    K = max(args.steps_per_call, 1)
+    step_fn = make_dp_train_step(loss_fn, tx, mesh, steps_per_call=K)
 
     # Pre-generate data on device: the bench measures the training step
     # (the metric's definition), not host data synthesis.
     data = synthetic_planes(256, points=args.samples, seed=0)
     rng = np.random.default_rng(0)
-    batches = [
-        shard_batch(
-            jnp.asarray(data[rng.integers(0, len(data), args.batch)]), mesh
-        )
-        for _ in range(8)
-    ]
+    def mk_batch():
+        b = jnp.asarray(data[rng.integers(0, len(data), K * args.batch)])
+        if K > 1:
+            b = b.reshape(K, args.batch, args.samples, 3)
+        return shard_batch(b, mesh) if K == 1 else jax.device_put(b)
+    batches = [mk_batch() for _ in range(8)]
 
-    for i in range(args.warmup):
+    n_calls = max(args.steps // K, 1)
+    warm_calls = max(args.warmup // K, 1)
+    for i in range(warm_calls):
         state, metrics = step_fn(state, batches[i % len(batches)])
     jax.block_until_ready(state.params)
 
     t0 = time.perf_counter()
-    for i in range(args.steps):
+    for i in range(n_calls):
         state, metrics = step_fn(state, batches[i % len(batches)])
     jax.block_until_ready(state.params)
     dt = time.perf_counter() - t0
 
-    steps_per_sec = args.steps / dt
+    steps_per_sec = n_calls * K / dt
     per_chip = steps_per_sec / n_chips if n_chips > 1 else steps_per_sec
     result = {
         "metric": "aircraft_rotate train steps/sec/chip "

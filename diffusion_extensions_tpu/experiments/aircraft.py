@@ -94,7 +94,8 @@ def train(args):
 
     mesh = make_mesh()
     loss_fn = make_loss_fn(model, process, truepos, args.so3)
-    step_fn = make_dp_train_step(loss_fn, tx, mesh)
+    K = max(args.steps_per_call, 1)
+    step_fn = make_dp_train_step(loss_fn, tx, mesh, steps_per_call=K)
 
     train_data = load_data("train", args)
     loader = None
@@ -145,10 +146,15 @@ def train(args):
 
     logger = MetricLogger(jsonl_path=args.log, print_every=args.print_every)
     meter = Throughput()
-    for i in range(int(state.step), args.steps):
-        batch = shard_batch(next(loader), mesh)
+    for i in range(int(state.step), args.steps, K):
+        if K == 1:
+            batch = shard_batch(next(loader), mesh)
+        else:
+            batch = jnp.stack([next(loader) for _ in range(K)])
         state, metrics = step_fn(state, batch)
-        meter.tick()
+        for _ in range(K):
+            meter.tick()
+        i = i + K - 1
         if (i + 1) % args.print_every == 0:
             logger.log(
                 i + 1,
@@ -235,6 +241,8 @@ def parse_args(argv=None):
                    help="run transformer matmuls in bfloat16 on the MXU")
     p.add_argument("--no-native", dest="no_native", action="store_true",
                    help="disable the C++ threaded batch loader")
+    p.add_argument("--steps-per-call", dest="steps_per_call", type=int,
+                   default=1, help="fuse K optimizer steps per dispatch")
     p.add_argument("--timesteps", type=int, default=1000)
     p.add_argument("--steps", type=int, default=1_000_000)
     p.add_argument("--seed", type=int, default=0)

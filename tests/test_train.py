@@ -87,6 +87,36 @@ def test_dp_matches_single_device(toy_setup):
     np.testing.assert_allclose(float(metrics["loss"]), mean_loss, rtol=1e-5)
 
 
+def test_dp_steps_per_call(toy_setup):
+    """K-fused steps must advance the step counter by K and match the
+    sequential K=1 trajectory (same per-step key derivation)."""
+    model, process, params, tx = toy_setup
+    mesh = make_mesh()
+
+    def loss_fn(p, key, batch):
+        return process.loss(lambda x, t: model.apply(p, x, t), key, batch)
+
+    step1 = make_dp_train_step(loss_fn, tx, mesh, donate=False)
+    stepK = make_dp_train_step(
+        loss_fn, tx, mesh, donate=False, steps_per_call=4
+    )
+    state_a = TrainState.create(params, tx, jax.random.PRNGKey(1))
+    state_b = TrainState.create(params, tx, jax.random.PRNGKey(1))
+    batches = [
+        sample_two_mode_batch(jax.random.PRNGKey(10 + i), 32) for i in range(4)
+    ]
+    for b in batches:
+        state_a, m_a = step1(state_a, shard_batch(b, mesh))
+    state_b, m_b = stepK(state_b, jnp.stack(batches))
+    assert int(state_b.step) == 4 == int(state_a.step)
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_a.params),
+        jax.tree_util.tree_leaves(state_b.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_checkpoint_roundtrip(toy_setup, tmp_path):
     model, process, params, tx = toy_setup
     state = TrainState.create(params, tx, jax.random.PRNGKey(7))

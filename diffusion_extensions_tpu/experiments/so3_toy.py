@@ -122,6 +122,8 @@ def parse_args(argv=None):
     p.add_argument("--print-every", dest="print_every", type=int, default=10)
     p.add_argument("--log", type=str, default=None)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--debug-nans", dest="debug_nans", action="store_true",
+                   help="enable jax_debug_nans (the torch anomaly-mode equivalent)")
     p.add_argument("--test", action="store_true")
     p.add_argument("--eval-batch", dest="eval_batch", type=int, default=512)
     return p.parse_args(argv)
@@ -132,6 +134,10 @@ def main(argv=None):
 
     enable_compilation_cache()
     args = parse_args(argv)
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     if args.test:
         test(args)
     else:

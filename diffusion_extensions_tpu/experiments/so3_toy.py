@@ -89,9 +89,16 @@ def test(args):
 
     denoise = lambda x, t: model.apply(state.params, x, t)
     t0 = time.perf_counter()
-    samples = jax.jit(
-        lambda k: process.p_sample_loop(denoise, k, (args.eval_batch,))
-    )(jax.random.PRNGKey(args.seed + 2))
+    if args.plot:
+        samples, traj = jax.jit(
+            lambda k: process.p_sample_loop(
+                denoise, k, (args.eval_batch,), return_trajectory=True
+            )
+        )(jax.random.PRNGKey(args.seed + 2))
+    else:
+        samples = jax.jit(
+            lambda k: process.p_sample_loop(denoise, k, (args.eval_batch,))
+        )(jax.random.PRNGKey(args.seed + 2))
     samples.block_until_ready()
     dt = time.perf_counter() - t0
 
@@ -106,7 +113,36 @@ def test(args):
           f"({args.timesteps} reverse steps)")
     print("angle-to-nearest-mode percentiles (rad):")
     print("  " + "  ".join(f"{p}%: {v:.4f}" for p, v in zip(pcts, vals)))
+    if args.plot:
+        _plot_traces(np.asarray(traj), args)
     return np.asarray(best)
+
+
+def _plot_traces(traj, args, max_chains=64):
+    """Euler-angle convergence traces over the reverse chain (the
+    reference's ``so3_test.py:36-70`` figure), headless matplotlib."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from ..ops.so3 import rmat_to_euler
+    from ..viz.colors import BLUE, GREEN, ORANGE
+    from ..viz.mpl import setup_pi_axis
+
+    t_axis = np.arange(traj.shape[0])[::-1]
+    x, y, z = rmat_to_euler(jnp.asarray(traj[:, :max_chains]))
+    fig, axlist = plt.subplots(nrows=3, ncols=1, sharex=True)
+    for ax, series, c in zip(axlist, (x, y, z), (BLUE, ORANGE, GREEN)):
+        ax.plot(t_axis, np.asarray(series), alpha=0.2, c=c, lw=0.7)
+        setup_pi_axis(ax)
+    axlist[2].axhline(np.pi / 2, color="grey", ls="-", lw=0.5)
+    axlist[2].axhline(-np.pi / 2, color="grey", ls="-", lw=0.5)
+    axlist[2].set_xlabel("Reverse process steps")
+    axlist[1].set_ylabel("Angle")
+    out = args.plot if isinstance(args.plot, str) else "so3_toy_traces.png"
+    fig.savefig(out, dpi=150, bbox_inches="tight")
+    print(f"wrote {out}")
 
 
 def parse_args(argv=None):
@@ -126,6 +162,8 @@ def parse_args(argv=None):
                    help="enable jax_debug_nans (the torch anomaly-mode equivalent)")
     p.add_argument("--test", action="store_true")
     p.add_argument("--eval-batch", dest="eval_batch", type=int, default=512)
+    p.add_argument("--plot", nargs="?", const=True, default=False,
+                   help="save euler-angle convergence traces (optional path)")
     return p.parse_args(argv)
 
 

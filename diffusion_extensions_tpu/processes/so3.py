@@ -142,11 +142,21 @@ class SO3Diffusion:
         noise = jnp.where((t == 0)[..., None, None], eye, noise)
         return rmul(mean, noise)
 
-    def p_sample_loop(self, denoise_fn, key, shape, projection=None, init=None):
+    def p_sample_loop(
+        self,
+        denoise_fn,
+        key,
+        shape,
+        projection=None,
+        init=None,
+        return_trajectory: bool = False,
+    ):
         """Reverse chain as ``lax.scan``.  ``init``: "igso3" (base-class
         eps=1 init, ``diffusion.py:329-337``) or "qr" (projected-class
         Haar-QR init, ``diffusion.py:390-400``); default follows
-        ``projected``."""
+        ``projected``.  ``return_trajectory=True`` additionally returns the
+        (T, B, 3, 3) chain states indexed by timestep (the reference's
+        ``so3_test.py:26-31`` trace collection)."""
         if isinstance(shape, int):
             shape = (shape,)
         b = shape[0]
@@ -163,10 +173,15 @@ class SO3Diffusion:
         def step(x, i):
             t = jnp.full((b,), i, dtype=jnp.int32)
             k = jax.random.fold_in(key, i)
-            return self.p_sample(denoise_fn, k, x, t, projection), None
+            x_new = self.p_sample(denoise_fn, k, x, t, projection)
+            return x_new, (x if return_trajectory else None)
 
         steps = jnp.arange(self.num_timesteps - 1, -1, -1)
-        x, _ = jax.lax.scan(step, x0, steps)
+        x, traj = jax.lax.scan(step, x0, steps)
+        if return_trajectory:
+            # traj[j] is the state before processing timestep steps[j];
+            # flip so index = timestep (reference res[i] layout)
+            return x, jnp.flip(traj, axis=0)
         return x
 
     def ddim_sample_loop(

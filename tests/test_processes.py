@@ -167,6 +167,21 @@ def test_so3_p_sample_loop_zero_denoiser_converges_to_identityish():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_so3_p_sample_loop_trajectory():
+    proc = SO3Diffusion.create(15)
+
+    def denoise(x, t):
+        return jnp.zeros((x.shape[0], 3))
+
+    x, traj = proc.p_sample_loop(
+        denoise, jax.random.PRNGKey(0), (4,), return_trajectory=True
+    )
+    assert x.shape == (4, 3, 3)
+    assert traj.shape == (15, 4, 3, 3)
+    # traj index = timestep: traj[T-1] is the chain's initial state
+    assert np.isfinite(np.asarray(traj)).all()
+
+
 def test_se3_loss_and_sample_loop():
     proc = SE3Diffusion.create(20, shift_scale=75.0)
 

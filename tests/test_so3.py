@@ -180,6 +180,18 @@ def test_log_rmat_identity_and_pi():
     np.testing.assert_allclose(so3.exp_skewvec(v), rot_pi, atol=1e-5)
 
 
+def test_haar_rotations_proper():
+    key = jax.random.PRNGKey(0)
+    r = so3.haar_rotations_proper(key, (128,))
+    np.testing.assert_allclose(np.linalg.det(np.asarray(r)), 1.0, atol=1e-5)
+    eye = jnp.broadcast_to(jnp.eye(3), r.shape)
+    np.testing.assert_allclose(
+        jnp.matmul(r, jnp.swapaxes(r, -1, -2),
+                   precision=jax.lax.Precision.HIGHEST),
+        eye, atol=1e-5,
+    )
+
+
 def test_se3_ops():
     rng = np.random.default_rng(5)
     rot = so3.exp_skewvec(jnp.asarray(rng.standard_normal((8, 3)).astype(np.float32)))

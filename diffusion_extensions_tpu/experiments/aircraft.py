@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import argparse
 import os
-import time
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +27,7 @@ import optax
 from ..data.shapenet import BatchLoader, ShapeNet, synthetic_planes
 from ..models.planenet import PlaneNet
 from ..models.projections import PointCloudProj
-from ..ops.so3 import haar_rotations, rmat_to_aa, rmat_to_euler, euler_to_rmat
+from ..ops.so3 import euler_to_rmat, rmat_to_aa
 from ..parallel.dp import make_dp_train_step, shard_batch
 from ..parallel.mesh import make_mesh
 from ..processes.r3 import ProjectedGaussianDiffusion
@@ -166,6 +165,8 @@ def train(args):
             )
         if (i + 1) % args.ckpt_every == 0 or (i + 1) == args.steps:
             save_checkpoint(args.ckpt, state)
+    if hasattr(loader, "close"):
+        loader.close()  # join native worker threads before interpreter exit
     return state
 
 

@@ -19,7 +19,6 @@ import json
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from ..data.synthetic import BINGHAM_COVS, bingham_dist

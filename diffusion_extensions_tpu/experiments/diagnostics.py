@@ -75,7 +75,6 @@ def se3_path(args):
 
     from ..ops.igso3 import IGSO3xR3
     from ..ops.se3 import AffineT, se3_scale
-    from ..ops.so3 import rmul
     from ..processes.se3 import SE3Diffusion
 
     process = SE3Diffusion.create(timesteps=args.steps)

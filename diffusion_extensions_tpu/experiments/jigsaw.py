@@ -23,7 +23,6 @@ import optax
 
 from ..data.jigsaw import JigsawPuzzle
 from ..models.coordconv import CoordConv
-from ..parallel.mesh import make_mesh
 from ..processes.r3 import ProjectedGaussianDiffusion
 from ..train.loop import MetricLogger, Throughput
 from ..train.state import TrainState, restore_checkpoint, save_checkpoint

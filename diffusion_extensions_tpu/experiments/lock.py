@@ -26,7 +26,7 @@ import optax
 
 from ..data.synthetic import sample_lock_batch
 from ..models.rot_predict import EulerRotPredict, RotPredict
-from ..ops.so3 import euler_to_rmat, rmat_to_euler, rotation_angle
+from ..ops.so3 import euler_to_rmat, rmat_to_euler
 from ..parallel.dp import make_dp_train_step, shard_batch
 from ..parallel.mesh import make_mesh
 from ..processes.r3 import GaussianDiffusion

@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
 
 import jax
 import jax.numpy as jnp
@@ -40,7 +39,6 @@ from ..models.projections import ProtProjection
 from ..models.protnet import ProtNet
 from ..ops.se3 import AffineT
 from ..ops.so3 import euler_to_rmat, rmat_to_aa
-from ..parallel.mesh import make_mesh
 from ..processes.euler import ProjectedEulerDiffusion
 from ..processes.se3 import ProjectedSE3Diffusion
 from ..train.loop import MetricLogger, Throughput

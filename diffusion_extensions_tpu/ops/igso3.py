@@ -32,14 +32,12 @@ heat-kernel expansion (reference: ``distributions.py:56-60``).
 from __future__ import annotations
 
 import math
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from .so3 import MM, aa_to_rmat, exp_skewvec, rmat_to_aa, rmul, rotation_angle
+from .so3 import MM, exp_skewvec, rmat_to_aa, rmul, rotation_angle
 from .se3 import AffineT
 
 __all__ = [

@@ -20,9 +20,6 @@ Key TPU-first departures from the reference:
 """
 from __future__ import annotations
 
-import math
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -8,7 +8,7 @@ all-reduced by XLA-inserted ``psum`` over ICI.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import numpy as np

@@ -8,8 +8,6 @@ loop (``diffusion.py:134-142``).
 """
 from __future__ import annotations
 
-from typing import Callable, Optional
-
 import jax
 import jax.numpy as jnp
 from flax import struct

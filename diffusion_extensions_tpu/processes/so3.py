@@ -20,8 +20,6 @@ Structural changes vs the reference:
 """
 from __future__ import annotations
 
-from typing import Callable, Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -109,13 +109,24 @@ def test(args):
         print("warning: no checkpoint found; sampling from untrained model")
     denoise = lambda x, t: model.apply(state.params, x, t)
 
+    # reference inits: Haar-QR rotations (so3_lock_test.py:24;
+    # euler variant decomposes them to euler angles first,
+    # euler_lock_test.py:22-24)
     if args.param == "so3":
         rots = jax.jit(
-            lambda k: process.p_sample_loop(denoise, k, (args.eval_batch,))
+            lambda k: process.p_sample_loop(
+                denoise, k, (args.eval_batch,), init="qr"
+            )
         )(jax.random.PRNGKey(args.seed + 2))
     else:
+        from ..ops.so3 import haar_rotations, rmat_to_euler as r2e
+
+        r0 = haar_rotations(jax.random.PRNGKey(args.seed + 3), (args.eval_batch,))
+        x_init = jnp.stack(r2e(r0), axis=-1)
         eul = jax.jit(
-            lambda k: process.p_sample_loop(denoise, k, (args.eval_batch, 3))
+            lambda k: process.p_sample_loop(
+                denoise, k, (args.eval_batch, 3), x_init=x_init
+            )
         )(jax.random.PRNGKey(args.seed + 2))
         rots = euler_to_rmat(eul[..., 0], eul[..., 1], eul[..., 2])
 

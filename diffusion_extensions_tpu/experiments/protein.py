@@ -93,10 +93,9 @@ def make_batches(pairs, args, rng):
     # static bucket lengths over the dataset -> one compiled program
     lr = max(p[0].positions.shape[0] for p in pairs)
     ll = max(p[1].positions.shape[0] for p in pairs)
-    for i in range(0, len(order) - len(order) % args.batch or len(order), args.batch):
+    usable = len(order) - len(order) % args.batch  # drop the ragged tail
+    for i in range(0, usable, args.batch):
         idx = order[i : i + args.batch]
-        if len(idx) < args.batch:
-            break
         chosen = []
         for j in idx:
             rec, lig = pairs[j]

@@ -4,9 +4,10 @@ Re-design of the reference eval layer (``util.py:110-151, 254-322``) around
 the MXU: the reference evaluates kernels by materialising (N, M, 3, 3)
 pairwise relative rotations and calling ``log_rmat`` on them
 (``util.py:128-134, 315-322``).  Here the pairwise geodesic angle comes
-straight from six bilinear forms of the rotation entries — one batched
-``einsum`` (a dot_general on the MXU) plus elementwise ``atan2`` — with
-O(N*M) memory per chunk and no 3x3 intermediates.
+straight from bilinear forms of the rotation entries — four (N, M) MXU
+matmuls plus elementwise ``atan2`` — with O(N*M) memory per chunk and no
+3x3 intermediates (see ``pairwise_rotation_angle``; ``ops/mmd_pallas``
+fuses even those into VMEM-resident block sums).
 
 Math: for M = X^T Y,  trace(M) = <X, Y>_F  and the skew part's vector has
 norm 2 sin(theta), both bilinear in the entries of X and Y, so
@@ -15,6 +16,7 @@ column inner products  G[n,m,i,j] = <X_n[:,i], Y_m[:,j]>.
 """
 from __future__ import annotations
 
+import functools
 import math
 from typing import Callable
 
@@ -106,6 +108,13 @@ def cosine_kernel_matrix(x: jax.Array, y: jax.Array) -> jax.Array:
     return jnp.cos(pairwise_rotation_angle(x, y))
 
 
+@functools.lru_cache(maxsize=None)
+def _jitted_block_sum(kernel_matrix: Callable):
+    """One compiled block-sum per kernel function (avoids re-jitting on
+    every mmd() call)."""
+    return jax.jit(lambda a, b: jnp.sum(kernel_matrix(a, b)))
+
+
 def _chunked_kernel_sum(
     x: jax.Array, y: jax.Array, kernel_matrix: Callable, chunksize: int | None
 ) -> jax.Array:
@@ -116,7 +125,7 @@ def _chunked_kernel_sum(
         return jnp.sum(kernel_matrix(x, y))
 
     total = jnp.zeros((), dtype=jnp.float32)
-    summed = jax.jit(lambda a, b: jnp.sum(kernel_matrix(a, b)))
+    summed = _jitted_block_sum(kernel_matrix)
     for i in range(0, n, chunksize):
         for j in range(0, m, chunksize):
             total = total + summed(x[i : i + chunksize], y[j : j + chunksize])

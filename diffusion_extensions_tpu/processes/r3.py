@@ -104,13 +104,17 @@ class GaussianDiffusion:
         return mean + nonzero * jnp.exp(0.5 * log_var) * noise
 
     def p_sample_loop(
-        self, denoise_fn, key, shape, clip_denoised=None, projection=None
+        self, denoise_fn, key, shape, clip_denoised=None, projection=None,
+        x_init=None,
     ):
         """Full reverse chain as ``lax.scan`` from Gaussian init
-        (reference: ``diffusion.py:133-142``)."""
+        (reference: ``diffusion.py:133-142``).  ``x_init`` overrides the
+        initial state (e.g. euler decompositions of Haar rotations, the
+        reference's lock/aircraft euler-test inits,
+        ``euler_lock_test.py:22-24``, ``aircraft_test.py:80-83``)."""
         b = shape[0]
         key, init_key = jax.random.split(key)
-        x0 = jax.random.normal(init_key, shape)
+        x0 = jax.random.normal(init_key, shape) if x_init is None else x_init
 
         def step(x, i):
             t = jnp.full((b,), i, dtype=jnp.int32)

@@ -114,6 +114,21 @@ def test_sample_rotation_angles_match_distribution():
     assert abs(angles.mean() - mean_ref) < 0.01, (angles.mean(), mean_ref)
 
 
+def test_sampled_angles_match_reference_distribution(g):
+    """BASELINE gate: sampled-rotation geodesic-angle distributions match the
+    reference's — two-sample KS test between 20k reference-sampled angles
+    (torch RNG) and 20k of ours (jax RNG), eps = 0.5."""
+    from scipy.stats import ks_2samp
+
+    ref_angles = g["sampled_angles_eps05"]
+    d = igso3.IsotropicGaussianSO3.create(jnp.float32(0.5))
+    ours = np.asarray(
+        so3.rotation_angle(d.sample(jax.random.PRNGKey(42), (20000,)))
+    )
+    stat, pvalue = ks_2samp(ref_angles, ours)
+    assert pvalue > 0.01, (stat, pvalue)
+
+
 def test_igso3table_per_timestep_rows():
     eps = np.linspace(0.01, 1.0, 10).astype(np.float32)
     table = igso3.IGSO3Table.from_eps(eps)

@@ -149,8 +149,18 @@ def make_igso3_goldens():
     d2 = ref_dist.IsotropicGaussianSO3(torch.tensor(0.5))
     lp = t2n(d2.log_prob(torch.from_numpy(rots)))
 
+    # 20k sampled rotation angles from the reference sampler (for
+    # cross-implementation distribution tests)
+    torch.manual_seed(123)
+    d3 = ref_dist.IsotropicGaussianSO3(torch.tensor(0.5))
+    samp = d3.sample((20000,))
+    from util import rmat_to_aa as ref_rmat_to_aa
+    _, ang = ref_rmat_to_aa(samp)
+    sampled_angles = t2n(ang)[:, 0]
+
     np.savez(
         os.path.join(OUT, "igso3.npz"),
+        sampled_angles_eps05=sampled_angles,
         t=t.astype(np.float32),
         eps=eps.astype(np.float32),
         dens=dens,

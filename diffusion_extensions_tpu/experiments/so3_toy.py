@@ -61,10 +61,11 @@ def train(args):
 
     logger = MetricLogger(jsonl_path=args.log, print_every=args.print_every)
     meter = Throughput()
+    batch_fn = jax.jit(lambda k: sample_two_mode_batch(k, args.batch))
     data_key = jax.random.PRNGKey(args.seed + 1)
     for i in range(int(state.step), args.steps):
         data_key, k = jax.random.split(data_key)
-        batch = shard_batch(sample_two_mode_batch(k, args.batch), mesh)
+        batch = shard_batch(batch_fn(k), mesh)
         state, metrics = step_fn(state, batch)
         meter.tick()
         if (i + 1) % args.print_every == 0:

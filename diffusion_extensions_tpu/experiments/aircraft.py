@@ -194,8 +194,15 @@ def test(args):
         proj = PointCloudProj(batch, so3=args.so3)
         if args.so3:
             return process.p_sample_loop(denoise, k, (batch.shape[0],), proj)
+        # reference euler init: euler decomposition of Haar-QR rotations
+        # (aircraft_test.py:80-83)
+        from ..ops.so3 import haar_rotations, rmat_to_euler
+
+        k, k_init = jax.random.split(k)
+        r0 = haar_rotations(k_init, (batch.shape[0],))
+        x_init = jnp.stack(rmat_to_euler(r0), axis=-1)
         eul = process.p_sample_loop(
-            denoise, k, (batch.shape[0], 3), projection=proj
+            denoise, k, (batch.shape[0], 3), projection=proj, x_init=x_init
         )
         return euler_to_rmat(eul[..., 0], eul[..., 1], eul[..., 2])
 

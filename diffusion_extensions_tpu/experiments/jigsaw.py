@@ -125,6 +125,22 @@ def test(args):
         f"p90={np.percentile(err_px, 90):.2f}px"
     )
     np.save("jigsaw_samples.npy", np.asarray(out))
+    if args.plot:
+        # final-frame grid (the reference renders sampled frames,
+        # jigsaw_test.py:33-73)
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        frames = np.asarray(jp(out[:16]))
+        fig, axes = plt.subplots(4, 4, figsize=(8, 8))
+        for ax, frame in zip(axes.ravel(), frames):
+            ax.imshow(np.transpose(frame, (1, 0, 2)), origin="lower")
+            ax.set_axis_off()
+        path = args.plot if isinstance(args.plot, str) else "jigsaw_frames.png"
+        fig.savefig(path, dpi=120, bbox_inches="tight")
+        print(f"wrote {path}")
     return out
 
 
@@ -145,6 +161,8 @@ def parse_args(argv=None):
                    help="enable jax_debug_nans (the torch anomaly-mode equivalent)")
     p.add_argument("--test", action="store_true")
     p.add_argument("--eval-batch", dest="eval_batch", type=int, default=64)
+    p.add_argument("--plot", nargs="?", const=True, default=False,
+                   help="save a grid of final sampled frames (optional path)")
     return p.parse_args(argv)
 
 

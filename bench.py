@@ -64,7 +64,8 @@ def main(argv=None):
     p.add_argument("--quick", action="store_true", help="50 steps")
     args = p.parse_args(argv)
     if args.quick:
-        args.steps, args.warmup = 50, 10
+        # enough calls that K-fused dispatch is measured steady-state
+        args.steps, args.warmup = 80, 24
 
     n_chips = len(jax.devices())
     model = PlaneNet(
@@ -99,7 +100,7 @@ def main(argv=None):
     batches = [mk_batch() for _ in range(8)]
 
     n_calls = max(args.steps // K, 1)
-    warm_calls = max(args.warmup // K, 1)
+    warm_calls = max(args.warmup // K, 3)
     for i in range(warm_calls):
         state, metrics = step_fn(state, batches[i % len(batches)])
     jax.block_until_ready(state.params)

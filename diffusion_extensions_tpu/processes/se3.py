@@ -101,12 +101,24 @@ class SE3Diffusion:
         return AffineT(rmul(x_blend.rot, noise.rot), x_blend.shift + noise.shift)
 
     def predict_start_from_noise(self, x_t: AffineT, t, noise: AffineGrad):
-        """(reference: ``diffusion.py:444-454``)"""
+        """(reference: ``diffusion.py:444-454``)
+
+        Shift algebra: the forward chain adds ``eps_t * shift_scale * z``
+        (``q_sample`` + ``sample_noise``) and the model is trained to
+        predict the unit ``z`` (``p_losses`` descales by
+        ``eps * shift_scale``), so inverting requires
+        ``shift_scale * sqrt(1/acp - 1) * z``.  The reference omits the
+        ``shift_scale`` factor here (``diffusion.py:446-449``), removing
+        only 1/75th of the injected shift noise per reverse step — its
+        published SE(3) sampler therefore random-walks to unbounded shifts
+        (confirmed empirically; rotations are unaffected).  We use the
+        correct factor.
+        """
         s = self.schedule
         x_t_term = se3_scale(x_t, extract(s.sqrt_recip_alphas_cumprod, t))
         noise_scale = extract(s.sqrt_recipm1_alphas_cumprod, t, 1)
         noise_rot = exp_skewvec(noise.rot_g * noise_scale)
-        noise_shift = noise.shift_g * noise_scale
+        noise_shift = noise.shift_g * noise_scale * self.shift_scale
         return AffineT(
             rmul(x_t_term.rot, jnp.swapaxes(noise_rot, -1, -2)),
             x_t_term.shift - noise_shift,

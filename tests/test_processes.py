@@ -87,7 +87,17 @@ def test_se3_process_golden(g):
     grad = se3_ops.AffineGrad(jnp.asarray(g["noise_vec"]), jnp.asarray(g["shift_n"]))
     pred = proc.predict_start_from_noise(aff, t, grad)
     np.testing.assert_allclose(pred.rot, g["se3_pred_rot"], atol=2e-4)
-    np.testing.assert_allclose(pred.shift, g["se3_pred_shift"], rtol=1e-4, atol=1e-4)
+    # Shift: the reference omits the shift_scale factor on the noise term
+    # (diffusion.py:446-449) — its published SE(3) sampler random-walks.
+    # We use the correct algebra; check against the reference golden with
+    # the missing factor applied.
+    sched = proc.schedule
+    ns = np.asarray(sched.sqrt_recipm1_alphas_cumprod)[g["t"]][:, None]
+    corrected = (
+        g["se3_pred_shift"]
+        - (proc.shift_scale - 1.0) * ns * g["shift_n"]
+    )
+    np.testing.assert_allclose(pred.shift, corrected, rtol=1e-3, atol=1e-3)
 
 
 def test_cosine_schedule_properties():
@@ -198,6 +208,29 @@ def test_se3_loss_and_sample_loop():
     assert out.rot.shape == (8, 3, 3)
     assert out.shift.shape == (8, 3)
     assert np.isfinite(np.asarray(out.shift)).all()
+
+
+def test_se3_oracle_sampler_contracts():
+    """With the oracle denoiser for a delta at the identity transform, the
+    SE(3) reverse chain must contract BOTH components (this is the test
+    that catches the reference's missing shift_scale in
+    predict_start_from_noise — with that bug shifts random-walk to ~1e5)."""
+    proc = SE3Diffusion.create(200, shift_scale=75.0)
+    sched = proc.schedule
+
+    def oracle(x, t):
+        eps = sched.sqrt_one_minus_alphas_cumprod[t][..., None]
+        rot_g = so3_ops.log_rmat_vec(x.rot) / eps
+        shift_g = x.shift / (eps * proc.shift_scale)
+        return se3_ops.AffineGrad(rot_g, shift_g)
+
+    out = jax.jit(lambda k: proc.p_sample_loop(oracle, k, (64,)))(
+        jax.random.PRNGKey(0)
+    )
+    ang = np.asarray(so3_ops.rotation_angle(out.rot))
+    shift_norm = np.linalg.norm(np.asarray(out.shift), axis=-1)
+    assert ang.max() < 0.2, ang.max()
+    assert shift_norm.max() < 10.0, shift_norm.max()  # noise floor ~ eps_0*75
 
 
 def test_euler_process():

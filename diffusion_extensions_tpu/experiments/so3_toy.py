@@ -15,6 +15,7 @@ summary, ``so3_test.py:74-80`` semantics).
 from __future__ import annotations
 
 import argparse
+import os
 import time
 
 import jax
@@ -142,6 +143,7 @@ def _plot_traces(traj, args, max_chains=64):
     axlist[2].set_xlabel("Reverse process steps")
     axlist[1].set_ylabel("Angle")
     out = args.plot if isinstance(args.plot, str) else "so3_toy_traces.png"
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
     fig.savefig(out, dpi=150, bbox_inches="tight")
     print(f"wrote {out}")
 

@@ -9,6 +9,7 @@ bounded ring fully overlapping device compute.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -20,24 +21,37 @@ __all__ = ["NativeBatchLoader", "build_native", "native_available"]
 _REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _SRC = os.path.join(_REPO, "native", "dataloader.cc")
 _LIB = os.path.join(_REPO, "native", "libdxtdata.so")
+_HASH = _LIB + ".srchash"
 _lock = threading.Lock()
 _lib = None
 
 
+def _src_hash() -> str:
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
 def build_native(force: bool = False) -> str:
-    """Compile the shared library if missing/stale; returns its path."""
+    """Compile the shared library from source; returns its path.
+
+    Staleness is decided by a content hash of ``dataloader.cc`` (not mtime:
+    a fresh git checkout gives both files checkout-time mtimes, which would
+    silently trust a stale binary).  The ``.so`` is never committed — it is
+    always built from source on first use on each machine.
+    """
     with _lock:
-        if (
-            not force
-            and os.path.exists(_LIB)
-            and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC)
-        ):
-            return _LIB
+        digest = _src_hash()
+        if not force and os.path.exists(_LIB) and os.path.exists(_HASH):
+            with open(_HASH) as f:
+                if f.read().strip() == digest:
+                    return _LIB
         cmd = [
             "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
             "-o", _LIB, _SRC, "-lpthread",
         ]
         subprocess.run(cmd, check=True, capture_output=True)
+        with open(_HASH, "w") as f:
+            f.write(digest)
         return _LIB
 
 
@@ -54,6 +68,7 @@ def _load():
         ctypes.c_int64, ctypes.c_int64,  # batch, samples
         ctypes.c_int64, ctypes.c_uint64, ctypes.c_int64,  # threads, seed, cap
     ]
+    lib.dl_next.restype = ctypes.c_int
     lib.dl_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
     lib.dl_destroy.argtypes = [ctypes.c_void_p]
     _lib = lib
@@ -102,9 +117,13 @@ class NativeBatchLoader:
         return self
 
     def __next__(self):
-        self._lib.dl_next(
+        if self._handle is None:
+            raise StopIteration("NativeBatchLoader is closed")
+        ok = self._lib.dl_next(
             self._handle, self._out.ctypes.data_as(ctypes.c_void_p)
         )
+        if not ok:  # loader stopping: output buffer was not written
+            raise StopIteration("NativeBatchLoader stopped")
         batch = self._out.copy()
         if self.device_put:
             import jax

@@ -72,7 +72,9 @@ def build(args):
         bf16=args.bf16,
     )
     if args.se3:
-        process = ProjectedSE3Diffusion(timesteps=args.timesteps)
+        process = ProjectedSE3Diffusion(
+            timesteps=args.timesteps, clip_shift=args.clip_shift
+        )
     else:
         process = ProjectedEulerDiffusion.create(timesteps=args.timesteps)
     return model, process
@@ -146,7 +148,14 @@ def train(args):
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         new_state = state.apply_gradients(tx, grads, next_key)
-        return new_state, loss
+        # wandb.watch equivalent (prot_train.py:76): norms for divergence
+        # diagnosis, logged to the JSONL sink.
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+            "param_norm": optax.global_norm(new_state.params),
+        }
+        return new_state, metrics
 
     @jax.jit
     def accum_fn(carry_grads, state, batch, count):
@@ -183,13 +192,13 @@ def train(args):
             step += max(count, 1)
         else:
             for batch in make_batches(pairs, args, rng):
-                state, loss = step_fn(state, batch)
+                state, metrics = step_fn(state, batch)
                 meter.tick()
                 step += 1
                 if step % args.print_every == 0:
                     logger.log(
                         step,
-                        {"loss": loss,
+                        {**metrics,
                          "steps_per_sec": meter.steps_per_sec or float("nan")},
                     )
                 if step >= args.steps:
@@ -274,6 +283,10 @@ def parse_args(argv=None):
     p.add_argument("--t_depth", type=int, default=12)
     p.add_argument("--c_depth", type=int, default=8)
     p.add_argument("--se3", action="store_true")
+    p.add_argument("--clip-shift", dest="clip_shift", type=float, default=75.0,
+                   help="clamp the sampler's predicted x0 shift to +-this "
+                        "(SE(3) clip_denoised analogue; 0 = off, reference "
+                        "parity — the published sampler random-walks)")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--timesteps", type=int, default=1000)
     p.add_argument("--steps", type=int, default=250_000,

@@ -11,7 +11,17 @@ branches baked in (the same cancellation-free sinh regrouping as
 The kernel is elementwise, so its win over the XLA fusion is modest on its
 own; the point is that it composes: ``igso3_logpdf_score`` is the building
 block other kernels (samplers, score-matching losses) call without ever
-leaving VMEM.
+leaving VMEM.  It is the production TPU path for
+``IsotropicGaussianSO3.log_prob`` and ``igso3_score_vec``
+(``utils.backend.use_pallas_tpu`` dispatch; ``DXT_NO_PALLAS=1`` selects the
+XLA formulation for A/B).
+
+A fused inverse-CDF *sampling* kernel was built in round 1 and removed: its
+per-sample (1, 1024) CDF-row blocks violate Mosaic's (8, 128) block rules,
+so it never lowered on hardware, and every legal reformulation serialises
+samples.  Per-timestep table sampling is instead a quantile-table lookup
+(two point gathers + lerp, ``igso3.IGSO3Table.sample_angles``) — gathers
+are XLA's job; see BENCHMARKS.md "IGSO(3) sampling".
 
 CPU fallback: ``interpret=True`` under the Pallas interpreter so the same
 code path is unit-testable without a TPU.
@@ -26,7 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["igso3_logpdf_score_pallas", "igso3_sample_angles_pallas"]
+__all__ = ["igso3_logpdf_score_pallas"]
 
 _PI = math.pi
 _BLOCK = (8, 128)
@@ -129,85 +139,3 @@ def igso3_logpdf_score_pallas(
         logf.reshape(-1)[:n].reshape(shape),
         score.reshape(-1)[:n].reshape(shape),
     )
-
-
-# ---------------------------------------------------------------------------
-# Fused inverse-CDF sampling kernel (scalar-prefetch gather)
-# ---------------------------------------------------------------------------
-
-_CDF_PAD = 1024  # 999-entry tables padded to one lane-aligned row
-
-
-def _sample_kernel(t_ref, locs_ref, u_ref, cdf_ref, angle_ref):
-    """One grid step = one sample: the (1, 1024) CDF row for this sample's
-    timestep is DMA'd in by the scalar-prefetch index_map; inverse-transform
-    the uniform into an angle without any in-kernel gather.
-
-    Gather-free trick: the CDF row is nondecreasing, so the mask
-    ``row <= u`` is a prefix — the bracketing values are
-    ``trap_start = max(row * mask)``, ``trap_end = min(row | !mask)``,
-    and likewise for the (shared, increasing) angle grid.
-    """
-    i = pl.program_id(0)
-    u = u_ref[i]
-    row = cdf_ref[0, :]  # (1024,) padded with 2.0 sentinels
-    locs = locs_ref[0, :]  # (1024,) padded with +inf
-
-    le = row <= u
-    trap_start = jnp.max(jnp.where(le, row, -1.0))
-    angle_start = jnp.max(jnp.where(le, locs, -1.0))
-    trap_end = jnp.min(jnp.where(le, 2.0, row))
-    angle_end = jnp.min(jnp.where(le, jnp.inf, locs))
-
-    any_le = trap_start >= 0.0
-    trap_start = jnp.where(any_le, trap_start, 0.0)
-    angle_start = jnp.where(any_le, angle_start, angle_end)
-    weight = jnp.clip(
-        (u - trap_start) / jnp.maximum(trap_end - trap_start, 1e-6), 0.0, 1.0
-    )
-    angle_ref[i] = angle_start + weight * (angle_end - angle_start)
-
-
-def igso3_sample_angles_pallas(
-    trap_locs: jax.Array,
-    cdf: jax.Array,
-    t_idx: jax.Array,
-    unif: jax.Array,
-    interpret: bool = False,
-) -> jax.Array:
-    """Inverse-CDF angle sampling fused into one Pallas kernel: per-sample
-    CDF rows are gathered from HBM by a scalar-prefetched timestep index
-    (``pltpu.PrefetchScalarGridSpec``), bracketing is computed with masked
-    reductions (no gather op), and only the (B,) angles ever leave VMEM.
-
-    Drop-in for the compare/gather/lerp inner loop of
-    ``igso3._inverse_cdf_angles`` on table-indexed sampling
-    (``IGSO3Table.sample_angles``); same trapezoid semantics
-    (reference: ``distributions.py:37-49``).
-    """
-    b = t_idx.shape[0]
-    n = cdf.shape[-1]
-    cdf_p = jnp.pad(cdf, ((0, 0), (0, _CDF_PAD - n)), constant_values=2.0)
-    locs_p = jnp.pad(
-        trap_locs.reshape(1, -1), ((0, 0), (0, _CDF_PAD - n)),
-        constant_values=jnp.inf,
-    )
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # t_idx drives the cdf row index_map
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, _CDF_PAD), lambda i, t: (0, 0),
-                         memory_space=pltpu.VMEM),  # locs (shared)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # unif
-            pl.BlockSpec((1, _CDF_PAD), lambda i, t: (t[i], 0),
-                         memory_space=pltpu.VMEM),  # this sample's cdf row
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-    )
-    return pl.pallas_call(
-        _sample_kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b,), jnp.float32),
-        interpret=interpret,
-    )(t_idx.astype(jnp.int32), locs_p, unif, cdf_p)

@@ -108,10 +108,16 @@ def cosine_kernel_matrix(x: jax.Array, y: jax.Array) -> jax.Array:
     return jnp.cos(pairwise_rotation_angle(x, y))
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=16)
 def _jitted_block_sum(kernel_matrix: Callable):
     """One compiled block-sum per kernel function (avoids re-jitting on
-    every mmd() call)."""
+    every mmd() call).
+
+    Keyed on function identity: pass module-level kernels (e.g.
+    ``gaussian_kernel_matrix``), not per-call lambdas/closures — a fresh
+    callable each call would recompile every time; the bounded cache keeps
+    that mistake from also growing memory without bound.
+    """
     return jax.jit(lambda a, b: jnp.sum(kernel_matrix(a, b)))
 
 
@@ -119,7 +125,21 @@ def _chunked_kernel_sum(
     x: jax.Array, y: jax.Array, kernel_matrix: Callable, chunksize: int | None
 ) -> jax.Array:
     """sum_{n,m} k(x_n, y_m) with O(chunk^2) memory (reference chunking
-    semantics, ``util.py:262-279``)."""
+    semantics, ``util.py:262-279``).
+
+    TPU + gaussian kernel: one fused Pallas dispatch
+    (``ops/mmd_pallas.gaussian_kernel_sum_pallas``) — block tiling happens
+    inside the kernel with VMEM-resident accumulation, so the host-side
+    chunk loop (25+ sequential dispatches at bingham eval sizes) collapses
+    to a single call and the (N, M) kernel matrix never touches HBM.
+    """
+    from ..utils.backend import use_pallas_tpu
+
+    if kernel_matrix is gaussian_kernel_matrix and use_pallas_tpu():
+        from .mmd_pallas import gaussian_kernel_sum_pallas
+
+        return gaussian_kernel_sum_pallas(x, y)
+
     n, m = x.shape[0], y.shape[0]
     if chunksize is None or chunksize >= max(n, m):
         return jnp.sum(kernel_matrix(x, y))

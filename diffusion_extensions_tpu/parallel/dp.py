@@ -25,6 +25,7 @@ def make_dp_train_step(
     axis: str = "dp",
     donate: bool = True,
     steps_per_call: int = 1,
+    log_norms: bool = False,
 ):
     """Build a jitted data-parallel train step.
 
@@ -37,6 +38,10 @@ def make_dp_train_step(
     dispatch via ``lax.scan`` (the batch then carries a leading K dim,
     sharded on dim 1).  Same SGD math; measured ~15% higher throughput on
     the tunneled TPU by amortising per-execution runtime overhead.
+
+    ``log_norms=True`` adds ``grad_norm``/``param_norm`` to the metrics —
+    the equivalent of the reference's ``wandb.watch(net)`` gradient
+    tracking (``so3_train.py:62``, ``prot_train.py:76``).
     """
 
     def one_step(state: TrainState, batch):
@@ -52,7 +57,13 @@ def make_dp_train_step(
         grads = jax.lax.pmean(grads, axis)
         loss = jax.lax.pmean(loss, axis)
         new_state = state.apply_gradients(tx, grads, next_key)
-        return new_state, {"loss": loss}
+        metrics = {"loss": loss}
+        if log_norms:
+            import optax
+
+            metrics["grad_norm"] = optax.global_norm(grads)
+            metrics["param_norm"] = optax.global_norm(new_state.params)
+        return new_state, metrics
 
     if steps_per_call == 1:
         shard_step = one_step

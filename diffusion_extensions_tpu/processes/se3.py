@@ -25,7 +25,7 @@ from flax import struct
 
 from ..ops.igso3 import IGSO3Table
 from ..ops.se3 import AffineGrad, AffineT, se3_scale
-from ..ops.so3 import exp_skewvec, haar_rotations, log_rmat_vec, rmul
+from ..ops.so3 import exp_skewvec, haar_rotations, log_rmat_vec, rmul, so3_scale
 from .schedule import Schedule, extract
 
 __all__ = ["SE3Diffusion", "ProjectedSE3Diffusion"]
@@ -42,6 +42,14 @@ class SE3Diffusion:
     shift_scale: float = struct.field(pytree_node=False, default=75.0)
     loss_type: str = struct.field(pytree_node=False, default="grad_mse")
     projected: bool = struct.field(pytree_node=False, default=False)
+    # x0-shift clamp during sampling: the SE(3) analogue of the reference's
+    # R^n ``clip_denoised`` (``diffusion.py:119`` clamps predicted x0 to
+    # [-1, 1]; the reference SE(3) sampler has no equivalent, so a model
+    # error of e at timestep t random-walks the shift by
+    # e * shift_scale * sqrt(1/acp_t - 1) — unbounded at large t).  0 = off
+    # (reference parity).  Any finite value makes shift divergence
+    # structurally impossible while leaving converged predictions untouched.
+    clip_shift: float = struct.field(pytree_node=False, default=0.0)
 
     @classmethod
     def create(
@@ -51,6 +59,7 @@ class SE3Diffusion:
         betas=None,
         shift_scale: float = 75.0,
         projected: bool = False,
+        clip_shift: float = 0.0,
     ) -> "SE3Diffusion":
         if loss_type != "grad_mse":
             raise ValueError(f"Unexpected loss_type: {loss_type}")
@@ -64,6 +73,7 @@ class SE3Diffusion:
             shift_scale=shift_scale,
             loss_type=loss_type,
             projected=projected,
+            clip_shift=clip_shift,
         )
 
     @property
@@ -142,6 +152,11 @@ class SE3Diffusion:
         x_in = projection(x) if projection is not None else x
         predict = denoise_fn(x_in, t)
         x_recon = self.predict_start_from_noise(x, t, predict)
+        if self.clip_shift > 0.0:
+            x_recon = AffineT(
+                x_recon.rot,
+                jnp.clip(x_recon.shift, -self.clip_shift, self.clip_shift),
+            )
         return self.q_posterior(x_recon, x, t)
 
     def p_sample(self, denoise_fn, key, x: AffineT, t, projection=None):
@@ -184,6 +199,74 @@ class SE3Diffusion:
         x, _ = jax.lax.scan(step, x0, steps)
         return x
 
+    def ddim_sample_loop(
+        self, denoise_fn, key, shape, num_steps: int = 50, projection=None
+    ) -> AffineT:
+        """Accelerated deterministic sampling, DDIM generalised to SE(3) —
+        the product-space extension of ``SO3Diffusion.ddim_sample_loop``
+        (beyond-reference capability; the reference only has the 1000-step
+        ancestral chain, ``diffusion.py:539-550``).
+
+        The forward marginal is x_t = (so3_scale(R0, sqrt(acp)) @ exp(v eps_t),
+        sqrt(acp) s0 + eps_t * shift_scale * z); DDIM keeps the predicted
+        unit noise (v, z) and jumps to the t' marginal around the x0
+        estimate in ``num_steps`` model evaluations.
+        """
+        if isinstance(shape, int):
+            shape = (shape,)
+        b = shape[0]
+        key, k_rot, k_shift = jax.random.split(key, 3)
+        x0 = AffineT(
+            haar_rotations(k_rot, (b,)),
+            jax.random.normal(k_shift, (b, 3)),
+        )
+
+        T = self.num_timesteps
+        ts = jnp.linspace(T - 1, 0, num_steps + 1).round().astype(jnp.int32)
+        s = self.schedule
+
+        def step(x, i):
+            t = jnp.full((b,), ts[i], dtype=jnp.int32)
+            t_prev = jnp.full((b,), ts[i + 1], dtype=jnp.int32)
+            x_in = projection(x) if projection is not None else x
+            pred: AffineGrad = denoise_fn(x_in, t)
+            x_recon = self.predict_start_from_noise(x, t, pred)
+            if self.clip_shift > 0.0:
+                x_recon = AffineT(
+                    x_recon.rot,
+                    jnp.clip(x_recon.shift, -self.clip_shift, self.clip_shift),
+                )
+            eps_prev = extract(s.sqrt_one_minus_alphas_cumprod, t_prev, 1)
+            acp_prev = extract(s.sqrt_alphas_cumprod, t_prev)
+            rot_prev = rmul(
+                so3_scale(x_recon.rot, acp_prev),
+                exp_skewvec(pred.rot_g * eps_prev),
+            )
+            shift_prev = (
+                extract(s.sqrt_alphas_cumprod, t_prev, 1) * x_recon.shift
+                + eps_prev * self.shift_scale * pred.shift_g
+            )
+            x_prev = AffineT(rot_prev, shift_prev)
+            # duplicated grid points (num_steps ~ T): hold the x0 estimate
+            hold = (t_prev == t)
+            x_prev = AffineT(
+                jnp.where(hold[..., None, None], x_recon.rot, x_prev.rot),
+                jnp.where(hold[..., None], x_recon.shift, x_prev.shift),
+            )
+            return x_prev, None
+
+        x, _ = jax.lax.scan(step, x0, jnp.arange(num_steps))
+        # final step: the clean x0 prediction at t = 0
+        t0 = jnp.zeros((b,), dtype=jnp.int32)
+        x_in = projection(x) if projection is not None else x
+        x_recon = self.predict_start_from_noise(x, t0, denoise_fn(x_in, t0))
+        if self.clip_shift > 0.0:
+            x_recon = AffineT(
+                x_recon.rot,
+                jnp.clip(x_recon.shift, -self.clip_shift, self.clip_shift),
+            )
+        return x_recon
+
     # -- training --------------------------------------------------------
     def p_losses(self, denoise_fn, key, x_start: AffineT, t, projection=None):
         """grad_mse loss on descaled tangent noise
@@ -213,8 +296,10 @@ def ProjectedSE3Diffusion(
     loss_type: str = "grad_mse",
     betas=None,
     shift_scale: float = 75.0,
+    clip_shift: float = 0.0,
 ) -> SE3Diffusion:
     """Factory matching ``diffusion.py:525-529``."""
     return SE3Diffusion.create(
-        timesteps, loss_type, betas, shift_scale, projected=True
+        timesteps, loss_type, betas, shift_scale, projected=True,
+        clip_shift=clip_shift,
     )

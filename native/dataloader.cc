@@ -10,7 +10,8 @@
 // C API (ctypes-friendly; see diffusion_extensions_tpu/data/native.py):
 //   dl_create(data, n_shapes, n_points, dim, batch, samples,
 //             n_threads, seed, capacity) -> handle
-//   dl_next(handle, out)   // blocks until a batch is ready, copies it out
+//   dl_next(handle, out) -> 1 on success, 0 if the loader is stopping
+//                           (out is untouched in that case)
 //   dl_destroy(handle)
 //
 // Build: g++ -O3 -march=native -shared -fPIC -o libdxtdata.so dataloader.cc -lpthread
@@ -122,13 +123,13 @@ void* dl_create(const float* data, int64_t n_shapes, int64_t n_points,
   return L;
 }
 
-void dl_next(void* handle, float* out) {
+int dl_next(void* handle, float* out) {
   auto* L = static_cast<Loader*>(handle);
   Batch* b = nullptr;
   {
     std::unique_lock<std::mutex> lk(L->mu);
     L->cv_full.wait(lk, [&] { return L->stop || !L->ready.empty(); });
-    if (L->stop) return;
+    if (L->stop) return 0;  // stopping: out not written
     b = L->ready.front();
     L->ready.pop();
   }
@@ -138,6 +139,7 @@ void dl_next(void* handle, float* out) {
     L->free_list.push_back(b);
   }
   L->cv_empty.notify_one();
+  return 1;
 }
 
 void dl_destroy(void* handle) { delete static_cast<Loader*>(handle); }

@@ -186,3 +186,31 @@ def test_sampling_is_jittable():
 
     out = f(jax.random.PRNGKey(6), jnp.arange(32, dtype=jnp.int32))
     assert out.shape == (32, 3, 3)
+
+
+def test_quantile_table_matches_exact_sampling():
+    """The production quantile-table sampler (rational-cubic knots, two
+    point gathers + lerp) matches the reference-exact CDF bracketing path
+    to 1e-3 rad worst-case over the full eps range (same uniform draw)."""
+    eps = np.concatenate(
+        [np.asarray([1e-10, 1e-4, 1e-3]), np.linspace(0.01, 1.5, 40)]
+    ).astype(np.float32)
+    table = igso3.IGSO3Table.from_eps(eps)
+    key = jax.random.PRNGKey(0)
+    idx = jax.random.randint(key, (100_000,), 0, len(eps))
+    k_draw = jax.random.fold_in(key, 1)
+    fast = np.asarray(table.sample_angles(k_draw, idx))
+    exact = np.asarray(table.sample_angles_exact(k_draw, idx))
+    d = np.abs(fast - exact)
+    assert d.max() < 1e-3, f"max quantile-table error {d.max()}"
+    assert d.mean() < 5e-5
+
+
+def test_quantile_table_degenerate_row_is_delta():
+    """eps so small that all mass is below the first grid point must sample
+    ~0 angles (delta at identity), never the pi sentinel."""
+    table = igso3.IGSO3Table.from_eps(np.asarray([1e-10], np.float32))
+    angles = table.sample_angles(
+        jax.random.PRNGKey(3), jnp.zeros((4096,), jnp.int32)
+    )
+    assert float(jnp.max(angles)) < 1e-6

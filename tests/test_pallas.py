@@ -69,29 +69,7 @@ def test_mmd_pallas_padding_masked():
     np.testing.assert_allclose(float(ours), float(ref), rtol=1e-4)
 
 
-def test_igso3_sample_angles_pallas_matches_gather():
-    """The scalar-prefetch sampling kernel reproduces the table gather/lerp
-    path exactly (masked-reduction bracketing on prefix masks)."""
-    from diffusion_extensions_tpu.ops.igso3_pallas import (
-        igso3_sample_angles_pallas,
-    )
-
-    table = igso3.IGSO3Table.from_eps(
-        np.linspace(0.02, 1.0, 50).astype(np.float32)
-    )
-    key = jax.random.PRNGKey(0)
-    t_idx = jax.random.randint(key, (512,), 0, 50)
-    u = jax.random.uniform(jax.random.fold_in(key, 1), (512,))
-    # include the u-below-first-cell edge
-    u = u.at[0].set(0.0)
-    rows = table.cdf[t_idx]
-    idx1 = jnp.minimum(jnp.sum(rows <= u[:, None], axis=-1), rows.shape[-1] - 1)
-    idx0 = jnp.maximum(idx1 - 1, 0)
-    ts = jnp.take_along_axis(rows, idx0[:, None], axis=-1)[:, 0]
-    te = jnp.take_along_axis(rows, idx1[:, None], axis=-1)[:, 0]
-    w = jnp.clip((u - ts) / jnp.maximum(te - ts, 1e-6), 0, 1)
-    ref = table.trap_locs[idx0] + w * (table.trap_locs[idx1] - table.trap_locs[idx0])
-    ours = igso3_sample_angles_pallas(
-        table.trap_locs, table.cdf, t_idx, u, interpret=True
-    )
-    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-6)
+# NOTE: round 1 had a scalar-prefetch Pallas sampling kernel here; it only
+# ever ran under the interpreter — its (1, 1024) CDF-row blocks violate
+# Mosaic's block rules on hardware — and was replaced by the quantile-table
+# sampling path (tests in test_igso3.py::test_quantile_table_*).

@@ -91,10 +91,22 @@ def train(args):
     if args.resume:
         state = restore_checkpoint(args.ckpt, state)
 
-    mesh = make_mesh()
     loss_fn = make_loss_fn(model, process, truepos, args.so3)
     K = max(args.steps_per_call, 1)
-    step_fn = make_dp_train_step(loss_fn, tx, mesh, steps_per_call=K)
+    if args.tp > 1:
+        # dp x tp GSPMD step: global-batch program, kernels sharded on "tp"
+        from ..parallel.gspmd import make_gspmd_train_step
+
+        mesh = make_mesh([("dp", -1), ("tp", args.tp)])
+        step_fn = make_gspmd_train_step(loss_fn, tx, mesh)
+        if K != 1:
+            print("--tp uses steps_per_call=1")
+            K = 1
+    else:
+        mesh = make_mesh()
+        step_fn = make_dp_train_step(
+            loss_fn, tx, mesh, steps_per_call=K, log_norms=args.log_norms
+        )
 
     train_data = load_data("train", args)
     loader = None
@@ -158,7 +170,7 @@ def train(args):
             logger.log(
                 i + 1,
                 {
-                    "loss": metrics["loss"],
+                    **metrics,
                     "test_loss": val_loss(state.params),
                     "steps_per_sec": meter.steps_per_sec or float("nan"),
                 },
@@ -251,6 +263,10 @@ def parse_args(argv=None):
                    help="disable the C++ threaded batch loader")
     p.add_argument("--steps-per-call", dest="steps_per_call", type=int,
                    default=1, help="fuse K optimizer steps per dispatch")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel mesh size (dp x tp GSPMD step)")
+    p.add_argument("--log-norms", dest="log_norms", action="store_true",
+                   help="log grad/param global norms (wandb.watch equivalent)")
     p.add_argument("--timesteps", type=int, default=1000)
     p.add_argument("--steps", type=int, default=1_000_000)
     p.add_argument("--seed", type=int, default=0)

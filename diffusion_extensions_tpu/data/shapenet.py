@@ -77,39 +77,75 @@ class ShapeNet:
 def synthetic_planes(
     n: int = 1024, points: int = 2048, seed: int = 0
 ) -> np.ndarray:
-    """Aircraft-like synthetic clouds: fuselage + wings + tail, unit-sphere
-    normalised like ShapeNet.  Same (N, points, 3) float32 contract."""
+    """Aircraft-like synthetic clouds, unit-sphere normalised like ShapeNet.
+    Same (N, points, 3) float32 contract.
+
+    The geometry is deliberately rotationally *asymmetric* (like a real
+    airplane): swept wings mounted forward of center, a dense nose cluster,
+    and a tall rear vertical fin, so no non-identity rotation maps the
+    shape near itself.  (Round 1 used a near-180deg-symmetric shape on
+    which the euler-baseline arm could not learn above the Haar prior —
+    the real ShapeNet planes the reference trains on are asymmetric in
+    exactly these ways.)  The only residual symmetry is the y-reflection
+    every real aircraft has, which is not an element of SO(3).
+    """
     rng = np.random.default_rng(seed)
     out = np.empty((n, points, 3), dtype=np.float32)
     for i in range(n):
-        n_fus = points // 2
+        n_fus = (2 * points) // 5
         n_wing = points // 3
-        n_tail = points - n_fus - n_wing
+        n_nose = points // 10
+        n_fin = points // 10
+        n_tail = points - n_fus - n_wing - n_nose - n_fin
+        # fuselage along +x, slightly tapering toward the rear
+        fx = rng.uniform(-1.0, 1.0, n_fus)
+        taper = 0.04 + 0.03 * (fx + 1.0) / 2.0
         fus = np.stack(
-            [
-                rng.uniform(-1.0, 1.0, n_fus),
-                rng.normal(0, 0.06, n_fus),
-                rng.normal(0, 0.06, n_fus),
-            ],
+            [fx, rng.normal(0, 1.0, n_fus) * taper,
+             rng.normal(0, 1.0, n_fus) * taper],
             axis=-1,
         )
+        # swept wings: mounted forward (x ~ 0.25 at root), trailing
+        # backward with span — x decreases with |y|
+        wy = rng.uniform(-0.9, 0.9, n_wing)
         wing = np.stack(
             [
-                rng.normal(0.1, 0.08, n_wing),
-                rng.uniform(-0.9, 0.9, n_wing),
-                rng.normal(0, 0.02, n_wing),
+                0.25 - 0.45 * np.abs(wy) + rng.normal(0, 0.05, n_wing),
+                wy,
+                rng.normal(0.02, 0.02, n_wing),
             ],
             axis=-1,
         )
+        # dense nose cone cluster at the front
+        nose = np.stack(
+            [
+                1.0 - np.abs(rng.normal(0, 0.08, n_nose)),
+                rng.normal(0, 0.03, n_nose),
+                rng.normal(0, 0.03, n_nose),
+            ],
+            axis=-1,
+        )
+        # tall vertical fin at the rear (up only: breaks x- and y-axis
+        # 180deg rotations)
+        fin = np.stack(
+            [
+                rng.uniform(-1.0, -0.8, n_fin),
+                rng.normal(0, 0.02, n_fin),
+                rng.uniform(0.0, 0.5, n_fin),
+            ],
+            axis=-1,
+        )
+        # horizontal tailplane, smaller span than the wings
+        ty = rng.uniform(-0.35, 0.35, n_tail)
         tail = np.stack(
             [
-                rng.normal(-0.9, 0.05, n_tail),
-                rng.normal(0, 0.05, n_tail),
-                rng.uniform(0.0, 0.35, n_tail),
+                rng.normal(-0.9, 0.04, n_tail),
+                ty,
+                rng.normal(0.05, 0.02, n_tail),
             ],
             axis=-1,
         )
-        cloud = np.concatenate([fus, wing, tail], axis=0)
+        cloud = np.concatenate([fus, wing, nose, fin, tail], axis=0)
         cloud -= cloud.mean(axis=0, keepdims=True)
         cloud /= np.abs(cloud).max()
         out[i] = cloud

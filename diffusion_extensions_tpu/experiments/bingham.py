@@ -42,6 +42,32 @@ def build(args):
     return model, process
 
 
+def _make_mmd_eval(model, process, dist, args):
+    """Online per-checkpoint MMD evaluation (replaces the reference's
+    mp.Pool-over-saved-checkpoints sweep, ``bingham_test.py:34-47``: here
+    the 20k-chain sampler and the fused MMD run inline on-device, so the
+    curve is produced during training with no checkpoint reloading)."""
+    bing_samples = quat_to_rmat(
+        dist.sample(jax.random.PRNGKey(args.seed + 2), (SAMPLES,))
+    )
+
+    sampler = jax.jit(
+        lambda params, k: process.p_sample_loop(
+            lambda x, t: model.apply(params, x, t), k, (NET_SAMPLES,)
+        )
+    )
+
+    def eval_mmd(params, step):
+        diff_samples = sampler(params, jax.random.fold_in(
+            jax.random.PRNGKey(args.seed + 3), step))
+        return float(
+            mmd(bing_samples, diff_samples, gaussian_kernel_matrix,
+                chunksize=MMD_CHUNK)
+        )
+
+    return eval_mmd
+
+
 def train(args):
     model, process = build(args)
     dist = bingham_dist(args.cov)
@@ -59,29 +85,47 @@ def train(args):
     def loss_fn(params, key, batch):
         return process.loss(lambda x, t: model.apply(params, x, t), key, batch)
 
-    step_fn = make_dp_train_step(loss_fn, tx, mesh)
+    K = max(min(args.steps_per_call, args.steps), 1)
+    step_fn = make_dp_train_step(loss_fn, tx, mesh, steps_per_call=K)
 
     @jax.jit
     def make_batch(k):
-        return quat_to_rmat(dist.sample(k, (args.batch,)))
+        rots = quat_to_rmat(dist.sample(k, (K * args.batch,)))
+        return rots.reshape(K, args.batch, 3, 3) if K > 1 else rots
+
+    eval_mmd = _make_mmd_eval(model, process, dist, args) if args.mmd_every else None
+    mmd_curve = []
 
     logger = MetricLogger(jsonl_path=args.log, print_every=args.print_every)
     meter = Throughput()
     data_key = jax.random.PRNGKey(args.seed + 1)
-    for i in range(int(state.step), args.steps):
+    i = int(state.step)
+    while i < args.steps:
         data_key, k = jax.random.split(data_key)
-        batch = shard_batch(make_batch(k), mesh)
+        batch = make_batch(k)
+        if K == 1:
+            batch = shard_batch(batch, mesh)
         state, metrics = step_fn(state, batch)
-        meter.tick()
-        if (i + 1) % args.print_every == 0:
+        for _ in range(K):
+            meter.tick()
+        i += K
+        if i % args.print_every < K:
             logger.log(
-                i + 1,
+                i,
                 {"loss": metrics["loss"],
                  "steps_per_sec": meter.steps_per_sec or float("nan")},
             )
-        if (i + 1) % args.ckpt_every == 0 or (i + 1) == args.steps:
-            save_checkpoint(args.ckpt, state)
-    return state
+        if i % args.ckpt_every < K or i >= args.steps:
+            save_checkpoint(args.ckpt, state, step=i)
+        if eval_mmd is not None and (i % args.mmd_every < K or i >= args.steps):
+            val = eval_mmd(state.params, i)
+            mmd_curve.append({"step": i, "mmd": val})
+            print(json.dumps({"cov": args.cov, "step": i, "mmd": val}),
+                  flush=True)
+    if mmd_curve:
+        with open(f"results/bingham_mmd_curve_{args.cov}.json", "w") as f:
+            json.dump(mmd_curve, f)
+    return state, mmd_curve
 
 
 def test(args):
@@ -111,18 +155,34 @@ def test(args):
     val = float(
         mmd(bing_samples, diff_samples, gaussian_kernel_matrix, chunksize=MMD_CHUNK)
     )
-    print(json.dumps({"cov": args.cov, "mmd": val, "count": SAMPLES}))
-    with open(f"bingham_mmd_{args.cov}.json", "w") as f:
-        json.dump({"mmd": val, "count": SAMPLES}, f)
+    # reference acceptance threshold (util.py:289-299), alpha = 0.05
+    import math
+
+    accept = (2.0 / SAMPLES) ** 0.5 * (1 + (2 * math.log(1 / 0.05)) ** 0.5)
+    out = {"cov": args.cov, "mmd": val, "count": SAMPLES,
+           "accept_threshold": accept, "passes": val < accept}
+    print(json.dumps(out))
+    import os
+
+    os.makedirs("results", exist_ok=True)
+    with open(f"results/bingham_mmd_{args.cov}.json", "w") as f:
+        json.dump(out, f)
     return val
 
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="Bingham density matching")
-    p.add_argument("cov", choices=sorted(BINGHAM_COVS), help="covariance preset")
+    p.add_argument("cov", choices=sorted(BINGHAM_COVS) + ["all"],
+                   help="covariance preset, or 'all' for the reference's "
+                        "full 4-preset matrix (bingham_train.py:54-78)")
     p.add_argument("--batch", type=int, default=64)  # bingham_train.py:50
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--steps", type=int, default=100_000)
+    p.add_argument("--steps-per-call", dest="steps_per_call", type=int,
+                   default=16, help="fuse K optimizer steps per dispatch")
+    p.add_argument("--mmd-every", dest="mmd_every", type=int, default=10_000,
+                   help="online MMD(model, target) eval interval (the "
+                        "per-checkpoint sweep; 0 disables)")
     p.add_argument("--timesteps", type=int, default=1000)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ckpt", type=str, default=None)
@@ -134,12 +194,15 @@ def parse_args(argv=None):
                    help="enable jax_debug_nans (the torch anomaly-mode equivalent)")
     p.add_argument("--test", action="store_true")
     args = p.parse_args(argv)
-    if args.ckpt is None:
+    if args.ckpt is None and args.cov != "all":
         args.ckpt = f"weights/bingham_{args.cov}"
     return args
 
 
 def main(argv=None):
+    import copy
+    import os
+
     from ..utils import enable_compilation_cache
 
     enable_compilation_cache()
@@ -148,10 +211,21 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_debug_nans", True)
-    if args.test:
-        test(args)
-    else:
-        train(args)
+    os.makedirs("results", exist_ok=True)
+    covs = sorted(BINGHAM_COVS) if args.cov == "all" else [args.cov]
+    for cov in covs:
+        a = copy.copy(args)
+        a.cov = cov
+        if args.cov == "all" or a.ckpt is None:
+            a.ckpt = f"weights/bingham_{cov}"
+        # one process for all presets: shapes are identical, so the train
+        # step, sampler and MMD kernels compile once and are reused 4x
+        if a.test:
+            test(a)
+        else:
+            train(a)
+            if args.cov == "all":  # full matrix: final 20k-sample MMD too
+                test(a)
 
 
 if __name__ == "__main__":

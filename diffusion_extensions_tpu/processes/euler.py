@@ -80,6 +80,46 @@ class ProjectedEulerDiffusion(GaussianDiffusion):
         x, _ = jax.lax.scan(step, x0, steps)
         return x
 
+    def ddim_sample_loop(
+        self,
+        denoise_fn,
+        key,
+        shape,
+        num_steps: int = 50,
+        clip_denoised=None,
+        projection=None,
+    ):
+        """DDIM for the euler baseline: the deterministic jumps follow the
+        inherited R^n semantics (the reference's euler reverse chain treats
+        the model output exactly as the base class's noise estimate), with
+        the block-scaled Gaussian *init* of ``p_sample_loop``."""
+        if isinstance(shape, int):
+            shape = (shape, 6)
+        b = shape[0]
+        key, init_key = jax.random.split(key)
+        x = jax.random.normal(init_key, (b, 6)) * self._block_scale()
+        T = self.num_timesteps
+        ts = jnp.linspace(T - 1, 0, num_steps + 1).round().astype(jnp.int32)
+        s = self.schedule
+
+        def step(x, i):
+            t = jnp.full((b,), ts[i], dtype=jnp.int32)
+            t_prev = jnp.full((b,), ts[i + 1], dtype=jnp.int32)
+            x_in = projection(x) if projection is not None else x
+            eps_pred = denoise_fn(x_in, t)
+            x_recon = self.predict_start_from_noise(x, t, eps_pred)
+            x_prev = (
+                extract(s.sqrt_alphas_cumprod, t_prev, 1) * x_recon
+                + extract(s.sqrt_one_minus_alphas_cumprod, t_prev, 1) * eps_pred
+            )
+            x_prev = jnp.where((t_prev == t)[:, None], x_recon, x_prev)
+            return x_prev, None
+
+        x, _ = jax.lax.scan(step, x, jnp.arange(num_steps))
+        t0 = jnp.zeros((b,), dtype=jnp.int32)
+        x_in = projection(x) if projection is not None else x
+        return self.predict_start_from_noise(x, t0, denoise_fn(x_in, t0))
+
     def p_losses(self, denoise_fn, x_start, t, noise, projection=None):
         """(reference: ``diffusion.py:615-628``): the model is trained to
         predict the *descaled* (unit) noise; q_sample sees the scaled one."""

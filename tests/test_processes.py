@@ -283,3 +283,28 @@ def test_invalid_loss_type_raises():
         SE3Diffusion.create(10, loss_type="bogus")
     with pytest.raises(ValueError):
         GaussianDiffusion.create(10, loss_type="bogus")
+
+
+def test_se3_clip_shift_bounds_adversarial_chain():
+    """clip_shift makes shift divergence structurally impossible: even an
+    adversarial denoiser that always predicts large constant noise cannot
+    blow up the reverse chain, while the unclipped (reference-parity)
+    process random-walks orders of magnitude further."""
+    from diffusion_extensions_tpu.ops.se3 import AffineGrad
+    from diffusion_extensions_tpu.processes.se3 import ProjectedSE3Diffusion
+
+    def adversary(x, t):
+        b = x.shift.shape[0]
+        return AffineGrad(jnp.zeros((b, 3)), jnp.full((b, 3), 5.0))
+
+    key = jax.random.PRNGKey(0)
+    clipped = ProjectedSE3Diffusion(timesteps=50, clip_shift=75.0)
+    out_c = jax.jit(lambda k: clipped.p_sample_loop(adversary, k, (16,)))(key)
+    norm_c = np.linalg.norm(np.asarray(out_c.shift), axis=-1)
+    assert np.isfinite(norm_c).all()
+    assert norm_c.max() < 500.0, norm_c.max()
+
+    unclipped = ProjectedSE3Diffusion(timesteps=50, clip_shift=0.0)
+    out_u = jax.jit(lambda k: unclipped.p_sample_loop(adversary, k, (16,)))(key)
+    norm_u = np.linalg.norm(np.asarray(out_u.shift), axis=-1)
+    assert norm_u.max() > 10 * norm_c.max()

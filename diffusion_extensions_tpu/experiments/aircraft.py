@@ -157,7 +157,14 @@ def train(args):
 
     logger = MetricLogger(jsonl_path=args.log, print_every=args.print_every)
     meter = Throughput()
+    profile_step = None
+    if args.profile_dir:
+        from ..train.loop import trace_window
+
+        profile_step = trace_window(args.profile_dir)
     for i in range(int(state.step), args.steps, K):
+        if profile_step is not None:
+            profile_step(i)
         if K == 1:
             batch = shard_batch(next(loader), mesh)
         else:
@@ -283,6 +290,8 @@ def parse_args(argv=None):
     p.add_argument("--ckpt-every", dest="ckpt_every", type=int, default=1000)
     p.add_argument("--print-every", dest="print_every", type=int, default=10)
     p.add_argument("--log", type=str, default=None)
+    p.add_argument("--profile-dir", dest="profile_dir", type=str, default=None,
+                   help="capture an XLA profiler trace of steps 50-60 here")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--debug-nans", dest="debug_nans", action="store_true",
                    help="enable jax_debug_nans (the torch anomaly-mode equivalent)")

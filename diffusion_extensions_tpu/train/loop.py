@@ -14,7 +14,34 @@ import sys
 import time
 from typing import Any, Optional
 
-__all__ = ["Throughput", "MetricLogger"]
+__all__ = ["Throughput", "MetricLogger", "trace_window"]
+
+
+def trace_window(out_dir: str, start_step: int = 50, num_steps: int = 10):
+    """Step-range XLA profiler capture: returns ``on_step(i)`` to call once
+    per training step; writes a TensorBoard/Perfetto trace of steps
+    [start_step, start_step + num_steps) to ``out_dir``.
+
+    The reference has no profiling at all (SURVEY §5.1); this is the
+    jax.profiler equivalent wired behind the drivers' ``--profile-dir``.
+    """
+    import jax
+
+    state = {"on": False, "done": False}
+
+    def on_step(i: int):
+        if state["done"]:
+            return
+        if not state["on"] and i >= start_step:
+            jax.profiler.start_trace(out_dir)
+            state["on"] = True
+        elif state["on"] and i >= start_step + num_steps:
+            jax.profiler.stop_trace()
+            state["on"] = False
+            state["done"] = True
+            print(f"profiler trace written to {out_dir}")
+
+    return on_step
 
 
 class Throughput:

@@ -175,6 +175,7 @@ def train(args):
     logger = MetricLogger(jsonl_path=args.log, print_every=args.print_every)
     meter = Throughput()
     step = int(state.step)
+    last_save = step
     epoch = 0
     while step < args.steps:
         if args.epoch_accum:
@@ -204,9 +205,14 @@ def train(args):
                 if step >= args.steps:
                     break
         epoch += 1
-        if epoch % 10 == 0 or step >= args.steps:
+        # step-based cadence: with small (synthetic) pair sets an epoch is a
+        # few steps and each save hauls the full 1.5 GB state pytree through
+        # the device relay — epoch-based saving would dominate the run.
+        if step - last_save >= args.ckpt_every or step >= args.steps:
             save_checkpoint(args.ckpt, state)
-    save_checkpoint(args.ckpt, state)
+            last_save = step
+    if step > last_save:
+        save_checkpoint(args.ckpt, state)
     return state
 
 
@@ -302,6 +308,8 @@ def parse_args(argv=None):
     p.add_argument("--data-root", dest="data_root", type=str,
                    default="data/BPTI_dock")
     p.add_argument("--ckpt", type=str, default=None)
+    p.add_argument("--ckpt-every", dest="ckpt_every", type=int, default=10_000,
+                   help="checkpoint save interval in steps")
     p.add_argument("--print-every", dest="print_every", type=int, default=10)
     p.add_argument("--log", type=str, default=None)
     p.add_argument("--resume", action="store_true")

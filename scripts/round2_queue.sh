@@ -8,7 +8,7 @@ cd "$(dirname "$0")/.."
 
 # 1) protein docking, SE(3) (clip-shift sampler default, grad-norm logging)
 python -u -m diffusion_extensions_tpu.experiments.protein --se3 \
-  --steps 120000 --ckpt weights/protein_se3_r2 \
+  --steps 120000 --ckpt weights/protein_se3_r2 --ckpt-every 20000 \
   --log results/protein_se3_train.jsonl --print-every 500
 python -u -m diffusion_extensions_tpu.experiments.protein --se3 \
   --test --ckpt weights/protein_se3_r2
@@ -27,7 +27,7 @@ python -u -m diffusion_extensions_tpu.experiments.aircraft --bf16 \
 
 # 3) protein euler baseline
 python -u -m diffusion_extensions_tpu.experiments.protein \
-  --steps 120000 --ckpt weights/protein_eul_r2 \
+  --steps 120000 --ckpt weights/protein_eul_r2 --ckpt-every 20000 \
   --log results/protein_eul_train.jsonl --print-every 500
 python -u -m diffusion_extensions_tpu.experiments.protein \
   --test --ckpt weights/protein_eul_r2

@@ -48,9 +48,20 @@ def test_bingham_train(tmp_path):
     from diffusion_extensions_tpu.experiments import bingham
 
     ckpt = os.path.join(str(tmp_path), "ck")
-    bingham.main(
-        ["sur", "--steps", "6", "--batch", "16", "--timesteps", "10",
-         "--ckpt", ckpt, "--ckpt-every", "6"]
+    # run inside tmp_path: the driver's online curve eval writes
+    # results/bingham_mmd_curve_*.json relative to the cwd, and running
+    # from the repo root would clobber the real artifacts
+    cwd = os.getcwd()
+    os.chdir(str(tmp_path))
+    try:
+        bingham.main(
+            ["sur", "--steps", "6", "--batch", "16", "--timesteps", "10",
+             "--ckpt", ckpt, "--ckpt-every", "6"]
+        )
+    finally:
+        os.chdir(cwd)
+    assert os.path.exists(
+        os.path.join(str(tmp_path), "results", "bingham_mmd_curve_sur.json")
     )
 
 

@@ -203,13 +203,16 @@ def test(args):
     state = restore_checkpoint(args.ckpt, TrainState.create(params, tx, key))
     if int(state.step) == 0:
         print("warning: no checkpoint found; evaluating untrained model")
-    denoise = lambda x, t: model.apply(state.params, x, t)
+    # params as a jit argument (not a closure): restored host arrays would
+    # otherwise be inlined into the HLO as literals and re-sent per compile
+    params = jax.device_put(state.params)
 
     test_data = load_data("test", args)[:, : args.samples]
     results = []
 
     @jax.jit
-    def sample_batch(k, batch):
+    def sample_batch(params, k, batch):
+        denoise = lambda x, t: model.apply(params, x, t)
         proj = PointCloudProj(batch, so3=args.so3)
         if args.so3:
             return process.p_sample_loop(denoise, k, (batch.shape[0],), proj)
@@ -236,7 +239,7 @@ def test(args):
         batch = jnp.asarray(batch_np)
         for s in range(SAMPLES_PER_SHAPE):
             k = jax.random.fold_in(jax.random.PRNGKey(args.seed + 1), b * 100 + s)
-            rots = sample_batch(k, batch)
+            rots = sample_batch(params, k, batch)
             _, angle = rmat_to_aa(rots)
             results.append(np.asarray(angle)[:n_valid, 0])
         if args.max_shapes and b + args.batch >= args.max_shapes:

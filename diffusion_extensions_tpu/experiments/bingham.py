@@ -138,7 +138,10 @@ def test(args):
     )
     if int(state.step) == 0:
         print("warning: no checkpoint found; evaluating untrained model")
-    denoise = lambda x, t: model.apply(state.params, x, t)
+    # device arrays (not restored host arrays) so jit treats the params
+    # as buffer constants instead of inlining them into the HLO
+    params = jax.device_put(state.params)
+    denoise = lambda x, t: model.apply(params, x, t)
 
     bing_samples = quat_to_rmat(
         dist.sample(jax.random.PRNGKey(args.seed + 2), (SAMPLES,))

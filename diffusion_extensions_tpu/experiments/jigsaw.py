@@ -108,7 +108,10 @@ def test(args):
     )
     if int(state.step) == 0:
         print("warning: no checkpoint found; evaluating untrained model")
-    denoise = lambda x, t: model.apply(state.params, x, t)
+    # device arrays (not restored host arrays) so jit treats the params
+    # as buffer constants instead of inlining them into the HLO
+    params = jax.device_put(state.params)
+    denoise = lambda x, t: model.apply(params, x, t)
 
     jp = JigsawPuzzle(size=args.size, seed=args.seed + 1234)
     out = jax.jit(

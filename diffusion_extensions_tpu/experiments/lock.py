@@ -116,7 +116,10 @@ def test(args):
     )
     if int(state.step) == 0:
         print("warning: no checkpoint found; sampling from untrained model")
-    denoise = lambda x, t: model.apply(state.params, x, t)
+    # device arrays (not restored host arrays) so jit treats the params
+    # as buffer constants instead of inlining them into the HLO
+    params = jax.device_put(state.params)
+    denoise = lambda x, t: model.apply(params, x, t)
 
     # reference inits: Haar-QR rotations (so3_lock_test.py:24;
     # euler variant decomposes them to euler angles first,

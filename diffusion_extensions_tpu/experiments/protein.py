@@ -233,10 +233,14 @@ def test(args):
     )
     if int(state.step) == 0:
         print("warning: no checkpoint found; evaluating untrained model")
-    denoise = lambda x, t: model.apply(state.params, x, t)
+    # device_put once and pass params as a jit ARGUMENT: closing over the
+    # restored host arrays would inline ~0.5 GB of literals into the HLO
+    # (the relay rejects the compile request) and re-upload them per call
+    params = jax.device_put(state.params)
 
     @jax.jit
-    def sample_fn(k, batch):
+    def sample_fn(params, k, batch):
+        denoise = lambda x, t: model.apply(params, x, t)
         proj = ProtProjection(batch, se3=args.se3)
         if args.se3:
             return process.p_sample_loop(denoise, k, (args.batch,), proj)
@@ -260,7 +264,7 @@ def test(args):
         batch = pad_prot_batch(chosen, lr, ll)
         for s in range(SAMPLES):
             k = jax.random.fold_in(jax.random.PRNGKey(args.seed + 1), b * 10 + s)
-            aff = sample_fn(k, batch)
+            aff = sample_fn(params, k, batch)
             _, ang = rmat_to_aa(aff.rot)
             angles.append(np.asarray(ang)[..., 0])
             shifts.append(np.linalg.norm(np.asarray(aff.shift), axis=-1))

@@ -70,6 +70,7 @@ def build(args):
         c_depth=args.c_depth,
         se3=args.se3,
         bf16=args.bf16,
+        frame_pool=args.frame_pool,
     )
     if args.se3:
         process = ProjectedSE3Diffusion(
@@ -301,6 +302,11 @@ def parse_args(argv=None):
                         "(SE(3) clip_denoised analogue; 0 = off, reference "
                         "parity — the published sampler random-walks)")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--frame-pool", dest="frame_pool", action="store_true",
+                   help="add gated frame-matrix pooling to the readout "
+                        "(beyond-reference: makes the rotation block of the "
+                        "docking transform directly observable; the "
+                        "reference readout pools features+positions only)")
     p.add_argument("--timesteps", type=int, default=1000)
     p.add_argument("--steps", type=int, default=250_000,
                    help="total batch steps (~1000 epochs of BPTI_dock)")

@@ -129,6 +129,39 @@ class PoolPos(nn.Module):
         return jnp.sum(pos * weight, axis=-2) / w_sum
 
 
+class PoolFrame(nn.Module):
+    """Sigmoid-gated weighted mean pooling of per-residue FRAME matrices —
+    the orientation analogue of ``PoolPos`` (beyond-reference; no
+    counterpart in ``models.py``).
+
+    Motivation (measured, BENCHMARKS.md protein section): the reference
+    readout pools features (``PoolRN``) and positions (``PoolPos``) only.
+    A weighted *mean position* is invariant to the centroid-centred
+    rotations the SE(3) diffusion applies to the ligand, so the rotation
+    block of the docking transform is observable only through the feature
+    mean — and the trained reference-parity model measures at the
+    zero-predictor baseline for rotation at every timestep.  Pooling the
+    frames gives the head a direct, linearly-decodable orientation
+    readout: each gate head produces a gated average of the (3, 3) frame
+    rows, which transforms with the applied rotation.
+    """
+
+    heads: int = 4
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, frames: jax.Array, mask: Optional[jax.Array] = None
+    ):
+        # x: (B, L, D) features; frames: (B, L, 3, 3) -> (B, heads * 9)
+        if mask is None:
+            mask = jnp.ones(x.shape[:-1], dtype=bool)
+        w = nn.sigmoid(nn.Dense(self.heads)(x)) * mask[..., None].astype(x.dtype)
+        w_sum = jnp.maximum(jnp.sum(w, axis=-2), 1e-6)  # (B, heads)
+        f = frames.reshape(*frames.shape[:-2], 9)  # (B, L, 9)
+        pooled = jnp.einsum("...lh,...lf->...hf", w, f) / w_sum[..., None]
+        return pooled.reshape(*pooled.shape[:-2], self.heads * 9)
+
+
 class FusedSelfAttention(nn.Module):
     """Self-attention with one fused QKV matmul.
 

@@ -17,7 +17,14 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.se3 import AffineGrad, ProtData
-from .layers import PoolPos, PoolRN, Siren, SinusoidalPosEmb, TransformerEncoder
+from .layers import (
+    PoolFrame,
+    PoolPos,
+    PoolRN,
+    Siren,
+    SinusoidalPosEmb,
+    TransformerEncoder,
+)
 from .projections import ProtBatch
 
 __all__ = ["ProtNet", "RES_COUNT", "UNIQUE_RESIDUES"]
@@ -58,6 +65,11 @@ class ProtNet(nn.Module):
     share_encoders: bool = True
     dropout: float = 0.0
     bf16: bool = False
+    # add gated frame-matrix pooling to the readout (PoolFrame): gives the
+    # head a direct orientation observable — without it the rotation block
+    # is unlearnable in practice (see PoolFrame docstring); off by default
+    # for reference parity
+    frame_pool: bool = False
 
     @nn.compact
     def __call__(self, x: ProtBatch, t: jax.Array, deterministic: bool = True):
@@ -100,9 +112,11 @@ class ProtNet(nn.Module):
         l_pool = PoolRN(dim)(l_out, x.ligand_mask)
         l_pos = PoolPos()(l_out, x.ligand.positions, x.ligand_mask)
 
-        pool = jnp.concatenate(
-            (time_embed, r_pool, r_pos, l_pool, l_pos), axis=-1
-        )  # (B, 3*dim + 6)
+        pieces = [time_embed, r_pool, r_pos, l_pool, l_pos]
+        if self.frame_pool:
+            pieces.append(PoolFrame()(r_out, x.receptor.angles, x.receptor_mask))
+            pieces.append(PoolFrame()(l_out, x.ligand.angles, x.ligand_mask))
+        pool = jnp.concatenate(pieces, axis=-1)  # (B, 3*dim + 6 [+ 72])
         h = nn.silu(nn.Dense(dim)(pool))
         for _ in range(3):
             h = h + nn.silu(nn.Dense(dim)(h))

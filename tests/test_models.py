@@ -204,3 +204,46 @@ def test_coordconv():
     params = m.init(jax.random.PRNGKey(0), x, t)
     out = m.apply(params, x, t)
     assert out.shape == (2, 2)
+
+
+def test_protnet_frame_pool_orientation_sensitivity():
+    """PoolFrame readout: rotating the ligand about its centroid must change
+    the rotation head's output (with the reference readout the weighted mean
+    position is invariant to centroid rotations, which is why the parity
+    model never learns the rotation block — see PoolFrame docstring)."""
+    from diffusion_extensions_tpu.models.projections import move_prot_batch
+    from diffusion_extensions_tpu.ops.se3 import AffineT
+
+    batch = _fake_prot_batch(jax.random.PRNGKey(0))
+    m = ProtNet(dim=32, heads=2, t_depth=2, c_depth=3, se3=True,
+                frame_pool=True)
+    t = jnp.zeros((2,), dtype=jnp.int32)
+    params = m.init(jax.random.PRNGKey(1), batch, t)
+    out0 = m.apply(params, batch, t)
+
+    rot = exp_skewvec(jnp.broadcast_to(jnp.asarray([0.0, 1.2, 0.0]), (2, 3)))
+    moved = move_prot_batch(
+        AffineT(rot, jnp.zeros((2, 3))), batch.ligand, batch.ligand_mask
+    )
+    batch_rot = ProtBatch(
+        batch.receptor, moved, batch.receptor_mask, batch.ligand_mask
+    )
+    out1 = m.apply(params, batch_rot, t)
+    assert float(jnp.max(jnp.abs(out0.rot_g - out1.rot_g))) > 1e-4
+
+
+def test_pool_frame_uniform_weights_is_masked_mean():
+    from diffusion_extensions_tpu.models.layers import PoolFrame
+
+    x = jnp.zeros((2, 7, 8))  # zero features -> all sigmoid gates = 0.5
+    frames = exp_skewvec(jax.random.normal(jax.random.PRNGKey(3), (2, 7, 3)))
+    mask = jnp.arange(7)[None, :] < jnp.asarray([[7], [4]])
+    pf = PoolFrame(heads=2)
+    params = pf.init(jax.random.PRNGKey(4), x, frames, mask)
+    out = pf.apply(params, x, frames, mask)
+    assert out.shape == (2, 18)
+    m = mask[..., None].astype(jnp.float32)
+    want = (frames.reshape(2, 7, 9) * m).sum(1) / m.sum(1)
+    # both heads gate uniformly (zero features), so each equals the mean
+    assert jnp.allclose(out[:, :9], want, atol=1e-5)
+    assert jnp.allclose(out[:, 9:], want, atol=1e-5)

@@ -96,9 +96,15 @@ def make_batches(pairs, args, rng):
     # static bucket lengths over the dataset -> one compiled program
     lr = max(p[0].positions.shape[0] for p in pairs)
     ll = max(p[1].positions.shape[0] for p in pairs)
-    usable = len(order) - len(order) % args.batch  # drop the ragged tail
-    for i in range(0, usable, args.batch):
-        idx = order[i : i + args.batch]
+    if args.batch > len(pairs):
+        # batch larger than the pair set (TPU batches vs a small dataset):
+        # one resampled-with-replacement batch per "epoch" — dropping the
+        # ragged tail would otherwise yield zero batches and never step
+        batches = [rng.choice(len(pairs), size=args.batch, replace=True)]
+    else:
+        usable = len(order) - len(order) % args.batch  # drop the ragged tail
+        batches = [order[i : i + args.batch] for i in range(0, usable, args.batch)]
+    for idx in batches:
         chosen = []
         for j in idx:
             rec, lig = pairs[j]

@@ -138,20 +138,23 @@ def test(args):
     )
     if int(state.step) == 0:
         print("warning: no checkpoint found; evaluating untrained model")
-    # device arrays (not restored host arrays) so jit treats the params
-    # as buffer constants instead of inlining them into the HLO
+    # device_put once and pass params as a jit ARGUMENT: closure-captured
+    # arrays become tracing-time constants inlined into the HLO regardless
+    # of device placement (the large-literal compile failure that hit the
+    # protein suite) and are re-uploaded per call
     params = jax.device_put(state.params)
-    denoise = lambda x, t: model.apply(params, x, t)
 
     bing_samples = quat_to_rmat(
         dist.sample(jax.random.PRNGKey(args.seed + 2), (SAMPLES,))
     )
     runs = SAMPLES // NET_SAMPLES
     sampler = jax.jit(
-        lambda k: process.p_sample_loop(denoise, k, (NET_SAMPLES,))
+        lambda p, k: process.p_sample_loop(
+            lambda x, t: model.apply(p, x, t), k, (NET_SAMPLES,)
+        )
     )
     chunks = [
-        sampler(jax.random.fold_in(jax.random.PRNGKey(args.seed + 3), i))
+        sampler(params, jax.random.fold_in(jax.random.PRNGKey(args.seed + 3), i))
         for i in range(runs)
     ]
     diff_samples = jnp.concatenate(chunks, axis=0)

@@ -108,17 +108,19 @@ def test(args):
     )
     if int(state.step) == 0:
         print("warning: no checkpoint found; evaluating untrained model")
-    # device arrays (not restored host arrays) so jit treats the params
-    # as buffer constants instead of inlining them into the HLO
+    # device_put once and pass params as a jit ARGUMENT: closure-captured
+    # arrays become tracing-time constants inlined into the HLO regardless
+    # of device placement (the large-literal compile failure that hit the
+    # protein suite) and are re-uploaded per call
     params = jax.device_put(state.params)
-    denoise = lambda x, t: model.apply(params, x, t)
 
     jp = JigsawPuzzle(size=args.size, seed=args.seed + 1234)
     out = jax.jit(
-        lambda k: process.p_sample_loop(
-            denoise, k, (args.eval_batch, 2), projection=jp
+        lambda p, k: process.p_sample_loop(
+            lambda x, t: model.apply(p, x, t), k, (args.eval_batch, 2),
+            projection=jp,
         )
-    )(jax.random.PRNGKey(args.seed + 2))
+    )(params, jax.random.PRNGKey(args.seed + 2))
     err = np.linalg.norm(np.asarray(out - jp.x_0[None]), axis=-1)
     # report in pixels (state*size/8) like the rendering transform
     err_px = err * args.size / 8.0

@@ -116,30 +116,33 @@ def test(args):
     )
     if int(state.step) == 0:
         print("warning: no checkpoint found; sampling from untrained model")
-    # device arrays (not restored host arrays) so jit treats the params
-    # as buffer constants instead of inlining them into the HLO
+    # device_put once and pass params as a jit ARGUMENT: closure-captured
+    # arrays become tracing-time constants inlined into the HLO regardless
+    # of device placement (the large-literal compile failure that hit the
+    # protein suite) and are re-uploaded per call
     params = jax.device_put(state.params)
-    denoise = lambda x, t: model.apply(params, x, t)
 
     # reference inits: Haar-QR rotations (so3_lock_test.py:24;
     # euler variant decomposes them to euler angles first,
     # euler_lock_test.py:22-24)
     if args.param == "so3":
         rots = jax.jit(
-            lambda k: process.p_sample_loop(
-                denoise, k, (args.eval_batch,), init="qr"
+            lambda p, k: process.p_sample_loop(
+                lambda x, t: model.apply(p, x, t), k, (args.eval_batch,),
+                init="qr",
             )
-        )(jax.random.PRNGKey(args.seed + 2))
+        )(params, jax.random.PRNGKey(args.seed + 2))
     else:
         from ..ops.so3 import haar_rotations, rmat_to_euler as r2e
 
         r0 = haar_rotations(jax.random.PRNGKey(args.seed + 3), (args.eval_batch,))
         x_init = jnp.stack(r2e(r0), axis=-1)
         eul = jax.jit(
-            lambda k: process.p_sample_loop(
-                denoise, k, (args.eval_batch, 3), x_init=x_init
+            lambda p, k: process.p_sample_loop(
+                lambda x, t: model.apply(p, x, t), k, (args.eval_batch, 3),
+                x_init=x_init,
             )
-        )(jax.random.PRNGKey(args.seed + 2))
+        )(params, jax.random.PRNGKey(args.seed + 2))
         rots = euler_to_rmat(eul[..., 0], eul[..., 1], eul[..., 2])
 
     # Quantitative lock check: on-segment rotations are pure-y rotations

@@ -71,6 +71,8 @@ def build(args):
         se3=args.se3,
         bf16=args.bf16,
         frame_pool=args.frame_pool,
+        cross_depth=args.cross_depth,
+        rel_frame=args.rel_frame,
     )
     if args.se3:
         process = ProjectedSE3Diffusion(
@@ -259,10 +261,20 @@ def test(args):
             euler_to_rmat(eul[..., 0], eul[..., 1], eul[..., 2]), out[..., 3:]
         )
 
+    # mirror the train-side guard (make_batches): with batch > len(pairs)
+    # the strided range below yields zero batches and np.concatenate([])
+    # raises — evaluate one resampled-with-replacement batch instead
+    if args.batch > len(pairs):
+        batch_indices = [rng.choice(len(pairs), size=args.batch, replace=True)]
+    else:
+        batch_indices = [
+            np.arange(b, b + args.batch)
+            for b in range(0, len(pairs) - len(pairs) % args.batch, args.batch)
+        ]
     angles, shifts = [], []
-    for b in range(0, len(pairs) - len(pairs) % args.batch, args.batch):
+    for b, idx in enumerate(batch_indices):
         chosen = []
-        for j in range(b, b + args.batch):
+        for j in idx:
             rec, lig = pairs[j]
             if AUGMENT and not args.no_augment:
                 rot, shift = random_affine_np(rng)
@@ -288,8 +300,12 @@ def test(args):
     print("shift " + " ".join(f"& {s_sorted[i]:.2f}" for i in idxs) + r" \\")
     import os
 
+    # key the artifact by the checkpoint it evaluates (not just by the
+    # diffusion type): every arm in the results matrix gets a distinct
+    # file, so arm labels never depend on manual renames between runs
+    arm = os.path.basename(os.path.normpath(args.ckpt)) or diff_type
     os.makedirs("results", exist_ok=True)
-    with open(f"results/prot_samples_{diff_type}.json", "w") as f:
+    with open(f"results/prot_samples_{arm}.json", "w") as f:
         json.dump({"angles": angles.tolist(), "shifts": shifts.tolist()}, f)
     return angles, shifts
 
@@ -313,6 +329,15 @@ def parse_args(argv=None):
                         "(beyond-reference: makes the rotation block of the "
                         "docking transform directly observable; the "
                         "reference readout pools features+positions only)")
+    p.add_argument("--cross-depth", dest="cross_depth", type=int, default=0,
+                   help="receptor<->ligand cross-attention rounds after the "
+                        "self-attention encoders (beyond-reference: makes "
+                        "the bilinear cross-chain rotation comparison "
+                        "representable before pooling; 0 = reference parity)")
+    p.add_argument("--rel-frame", dest="rel_frame", action="store_true",
+                   help="append the bilinear relative-frame readout "
+                        "P_lig @ P_rec^T of gated-pooled frames "
+                        "(beyond-reference; see ProtNet.rel_frame)")
     p.add_argument("--timesteps", type=int, default=1000)
     p.add_argument("--steps", type=int, default=250_000,
                    help="total batch steps (~1000 epochs of BPTI_dock)")

@@ -89,21 +89,25 @@ def test(args):
     if int(state.step) == 0:
         print("warning: no checkpoint found; sampling from untrained model")
 
-    # device arrays (not restored host arrays) so jit treats the params
-    # as buffer constants instead of inlining them into the HLO
+    # device_put once and pass params as a jit ARGUMENT: closure-captured
+    # arrays become tracing-time constants inlined into the HLO regardless
+    # of device placement (the large-literal compile failure that hit the
+    # protein suite) and are re-uploaded per call
     params = jax.device_put(state.params)
-    denoise = lambda x, t: model.apply(params, x, t)
     t0 = time.perf_counter()
     if args.plot:
         samples, traj = jax.jit(
-            lambda k: process.p_sample_loop(
-                denoise, k, (args.eval_batch,), return_trajectory=True
+            lambda p, k: process.p_sample_loop(
+                lambda x, t: model.apply(p, x, t), k, (args.eval_batch,),
+                return_trajectory=True,
             )
-        )(jax.random.PRNGKey(args.seed + 2))
+        )(params, jax.random.PRNGKey(args.seed + 2))
     else:
         samples = jax.jit(
-            lambda k: process.p_sample_loop(denoise, k, (args.eval_batch,))
-        )(jax.random.PRNGKey(args.seed + 2))
+            lambda p, k: process.p_sample_loop(
+                lambda x, t: model.apply(p, x, t), k, (args.eval_batch,)
+            )
+        )(params, jax.random.PRNGKey(args.seed + 2))
     samples.block_until_ready()
     dt = time.perf_counter() - t0
 

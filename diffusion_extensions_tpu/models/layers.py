@@ -23,6 +23,7 @@ __all__ = [
     "PoolRN",
     "PoolPos",
     "TransformerEncoderLayer",
+    "TransformerCrossLayer",
     "TransformerEncoder",
 ]
 
@@ -237,6 +238,53 @@ class TransformerEncoderLayer(nn.Module):
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         x = nn.LayerNorm(epsilon=1e-5)(x + h)
         return x
+
+
+class TransformerCrossLayer(nn.Module):
+    """Post-norm cross-attention block: ``x`` queries attend to ``ctx``
+    keys/values, then a ReLU FFN — the cross-chain counterpart of
+    ``TransformerEncoderLayer`` (same PyTorch-1.8 post-norm conventions).
+
+    Beyond-reference: the reference encodes receptor and ligand with
+    *independent* self-attention stacks and only lets them interact through
+    pooled summary vectors (``models.py:277-319``).  The measured
+    consequence (BENCHMARKS.md protein section) is that the rotation block
+    of the docking transform — a *bilinear* comparison between ligand and
+    receptor orientations — sits at the zero-predictor under the
+    reference's Haar-augmented protocol.  Cross-attention gives every
+    ligand token direct access to receptor tokens (and vice versa), making
+    that comparison representable before the pooling bottleneck.
+    """
+
+    dim: int
+    heads: int
+    dim_feedforward: int = 2048
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, ctx, ctx_mask=None, deterministic: bool = True):
+        mask = None
+        if ctx_mask is not None:
+            # (B, 1, 1, Lctx) — broadcast over heads and query positions
+            mask = ctx_mask[:, None, None, :]
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.heads,
+            qkv_features=self.dim,
+            out_features=self.dim,
+            dropout_rate=self.dropout,
+            dtype=self.dtype,
+        )(x, ctx, mask=mask, deterministic=deterministic)
+        if self.dropout > 0.0:
+            attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
+        x = nn.LayerNorm(epsilon=1e-5)(x + attn)
+        h = nn.relu(nn.Dense(self.dim_feedforward, dtype=self.dtype)(x))
+        if self.dropout > 0.0:
+            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = nn.Dense(self.dim, dtype=self.dtype)(h)
+        if self.dropout > 0.0:
+            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        return nn.LayerNorm(epsilon=1e-5)(x + h).astype(jnp.float32)
 
 
 class TransformerEncoder(nn.Module):

@@ -23,6 +23,7 @@ from .layers import (
     PoolRN,
     Siren,
     SinusoidalPosEmb,
+    TransformerCrossLayer,
     TransformerEncoder,
 )
 from .projections import ProtBatch
@@ -70,6 +71,20 @@ class ProtNet(nn.Module):
     # is unlearnable in practice (see PoolFrame docstring); off by default
     # for reference parity
     frame_pool: bool = False
+    # receptor<->ligand cross-attention rounds after the self-attention
+    # encoders (TransformerCrossLayer): lets tokens of each chain compare
+    # against the other chain before the pooling bottleneck — required for
+    # the bilinear rotation comparison under Haar augmentation (measured:
+    # BENCHMARKS.md protein probe table); 0 = off, reference parity
+    cross_depth: int = 0
+    # append the bilinear relative-frame readout P_lig @ P_rec^T of the
+    # gated-pooled frame matrices.  Frames transform as F @ R^T
+    # (projections.py:74), so for pooled frames P = C R_a^T (receptor) and
+    # P = C' R_a^T R_n^T (ligand, R_n = diffusion noise about the
+    # centroid), the product C' R_a^T R_n^T R_a C^T exposes the noise
+    # rotation conjugated by the (observable) augmentation — the exact
+    # R_rec^T R_lig observable the rotation target needs; off by default
+    rel_frame: bool = False
 
     @nn.compact
     def __call__(self, x: ProtBatch, t: jax.Array, deterministic: bool = True):
@@ -107,15 +122,35 @@ class ProtNet(nn.Module):
         r_out = encode(x.receptor, x.receptor_mask, rec_tf).astype(jnp.float32)
         l_out = encode(x.ligand, x.ligand_mask, lig_tf).astype(jnp.float32)
 
+        # bidirectional co-attention: both updates read the PRE-round
+        # tensors, then swap in together
+        for _ in range(self.cross_depth):
+            r_new = TransformerCrossLayer(
+                dim, self.heads, dropout=self.dropout, dtype=act_dtype
+            )(r_out, l_out, x.ligand_mask, deterministic=deterministic)
+            l_new = TransformerCrossLayer(
+                dim, self.heads, dropout=self.dropout, dtype=act_dtype
+            )(l_out, r_out, x.receptor_mask, deterministic=deterministic)
+            r_out, l_out = r_new, l_new
+
         r_pool = PoolRN(dim)(r_out, x.receptor_mask)
         r_pos = PoolPos()(r_out, x.receptor.positions, x.receptor_mask)
         l_pool = PoolRN(dim)(l_out, x.ligand_mask)
         l_pos = PoolPos()(l_out, x.ligand.positions, x.ligand_mask)
 
         pieces = [time_embed, r_pool, r_pos, l_pool, l_pos]
-        if self.frame_pool:
-            pieces.append(PoolFrame()(r_out, x.receptor.angles, x.receptor_mask))
-            pieces.append(PoolFrame()(l_out, x.ligand.angles, x.ligand_mask))
+        if self.frame_pool or self.rel_frame:
+            rf = PoolFrame()(r_out, x.receptor.angles, x.receptor_mask)
+            lf = PoolFrame()(l_out, x.ligand.angles, x.ligand_mask)
+            if self.frame_pool:
+                pieces.append(rf)
+                pieces.append(lf)
+            if self.rel_frame:
+                h = rf.shape[-1] // 9
+                rm = rf.reshape(*rf.shape[:-1], h, 3, 3)
+                lm = lf.reshape(*lf.shape[:-1], h, 3, 3)
+                rel = jnp.einsum("...hij,...hkj->...hik", lm, rm)
+                pieces.append(rel.reshape(*rel.shape[:-3], h * 9))
         pool = jnp.concatenate(pieces, axis=-1)  # (B, 3*dim + 6 [+ 72])
         h = nn.silu(nn.Dense(dim)(pool))
         for _ in range(3):

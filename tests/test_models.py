@@ -247,3 +247,62 @@ def test_pool_frame_uniform_weights_is_masked_mean():
     # both heads gate uniformly (zero features), so each equals the mean
     assert jnp.allclose(out[:, :9], want, atol=1e-5)
     assert jnp.allclose(out[:, 9:], want, atol=1e-5)
+
+
+def test_protnet_cross_attention_forward_and_mask():
+    """cross_depth > 0: forward works and padded tokens of the *other* chain
+    cannot leak through the cross-attention (ctx mask correctness)."""
+    batch = _fake_prot_batch(jax.random.PRNGKey(0))
+    m = ProtNet(dim=32, heads=2, t_depth=1, c_depth=3, se3=True,
+                cross_depth=2, frame_pool=True, rel_frame=True)
+    t = jnp.zeros((2,), dtype=jnp.int32)
+    params = m.init(jax.random.PRNGKey(1), batch, t)
+    out1 = m.apply(params, batch, t)
+    assert out1.rot_g.shape == (2, 3)
+
+    # scramble padded ligand positions AND angles (mask False region); the
+    # receptor tokens cross-attend to ligand tokens, so a mask bug in the
+    # cross layer would change the output
+    lig = batch.ligand
+    pad = (~batch.ligand_mask)[..., None]
+    batch2 = ProtBatch(
+        batch.receptor,
+        ProtData(
+            lig.residues,
+            lig.positions + pad * 100.0,
+            lig.angles + pad[..., None] * 3.0,
+        ),
+        batch.receptor_mask,
+        batch.ligand_mask,
+    )
+    out2 = m.apply(params, batch2, t)
+    # conv-over-residues leaks 2 tokens across the boundary (see
+    # test_protnet_mask_invariance); positions/angles paths must be masked
+    np.testing.assert_allclose(out1.rot_g, out2.rot_g, atol=1e-4)
+    np.testing.assert_allclose(out1.shift_g, out2.shift_g, atol=1e-4)
+
+
+def test_protnet_rel_frame_rotation_sensitivity():
+    """The bilinear relative-frame readout must react to a centroid rotation
+    of the ligand (the observable the augmented rotation target needs)."""
+    from diffusion_extensions_tpu.models.projections import move_prot_batch
+    from diffusion_extensions_tpu.ops.se3 import AffineT
+
+    batch = _fake_prot_batch(jax.random.PRNGKey(0))
+    m = ProtNet(dim=32, heads=2, t_depth=1, c_depth=3, se3=True,
+                cross_depth=1, rel_frame=True)
+    t = jnp.zeros((2,), dtype=jnp.int32)
+    params = m.init(jax.random.PRNGKey(1), batch, t)
+    out0 = m.apply(params, batch, t)
+
+    rot = exp_skewvec(jnp.broadcast_to(jnp.asarray([0.0, 1.2, 0.0]), (2, 3)))
+    moved = move_prot_batch(
+        AffineT(rot, jnp.zeros((2, 3))), batch.ligand, batch.ligand_mask
+    )
+    out1 = m.apply(
+        params,
+        ProtBatch(batch.receptor, moved, batch.receptor_mask,
+                  batch.ligand_mask),
+        t,
+    )
+    assert float(jnp.max(jnp.abs(out0.rot_g - out1.rot_g))) > 1e-4

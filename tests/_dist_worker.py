@@ -1,0 +1,86 @@
+"""Worker process for the real 2-process jax.distributed integration test
+(``tests/test_distributed_2proc.py``).  Not collected by pytest.
+
+Each worker: 4 virtual CPU devices, rendezvous via
+``parallel.launch.maybe_initialize_distributed`` (DXT_* env contract),
+then one data-parallel train step over the combined 8-device global mesh.
+"""
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=4"
+).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if ROOT not in sys.path:
+    sys.path.insert(0, ROOT)
+
+import jax  # noqa: E402
+
+# the image's sitecustomize force-registers the axon TPU backend; pin CPU
+# programmatically (env alone is overridden), like tests/conftest.py
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import optax  # noqa: E402
+
+from diffusion_extensions_tpu.parallel.launch import (  # noqa: E402
+    maybe_initialize_distributed,
+)
+
+
+def main():
+    ran = maybe_initialize_distributed()
+    assert ran, "distributed env not detected"
+    assert jax.process_count() == 2, jax.process_count()
+    assert jax.device_count() == 8, jax.device_count()
+    assert jax.local_device_count() == 4
+
+    from diffusion_extensions_tpu.parallel.dp import make_dp_train_step
+    from diffusion_extensions_tpu.parallel.mesh import make_mesh
+    from diffusion_extensions_tpu.train.state import TrainState
+
+    mesh = make_mesh()  # all 8 global devices on "dp"
+
+    def loss_fn(params, key, batch):
+        pred = batch @ params["w"] + params["b"]
+        return np.float32(1.0) * ((pred - 1.0) ** 2).mean()
+
+    params = {
+        "w": np.full((4, 2), 0.5, np.float32),
+        "b": np.zeros((2,), np.float32),
+    }
+    tx = optax.sgd(0.1)
+    state = TrainState.create(params, tx, jax.random.PRNGKey(0))
+    # host-numpy pytree: replicated automatically by the jitted step in
+    # multi-controller mode (identical on every process by construction)
+    state = jax.tree_util.tree_map(np.asarray, state)
+
+    step = make_dp_train_step(loss_fn, tx, mesh, donate=False)
+
+    # global batch (8, 4) sharded over "dp": each process provides its
+    # local half through make_array_from_process_local_data
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    pid = jax.process_index()
+    global_batch = np.arange(8 * 4, dtype=np.float32).reshape(8, 4) / 10.0
+    local = global_batch[pid * 4:(pid + 1) * 4]
+    batch = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("dp")), local, global_shape=(8, 4)
+    )
+
+    new_state, metrics = step(state, batch)
+    loss = float(metrics["loss"])
+    assert np.isfinite(loss)
+    # params stay replicated (out_specs P()): read this process's local
+    # shard — the parent asserts both processes report the same value
+    w = np.asarray(new_state.params["w"].addressable_data(0))
+    print(f"OK pid={pid} loss={loss:.6f} wsum={float(np.sum(w)):.6f}",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

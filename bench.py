@@ -1,17 +1,30 @@
-"""Headline benchmark: aircraft_rotate training steps/sec/chip.
-
-Runs the flagship workload — ProjectedSO3Diffusion + PlaneNet
-(dim 512, 4 heads, 4 layers, batch 32, 256 points: the reference's training
-config, ``aircraft_rotate.py:16-48``) — as the jitted data-parallel train
-step on the available device(s) and reports throughput.
+"""Multi-workload benchmark gate.  Headline: aircraft_rotate training
+steps/sec/chip (the flagship workload — ProjectedSO3Diffusion + PlaneNet
+d512/4h/4l, batch 32, 256 points: the reference's training config,
+``aircraft_rotate.py:16-48``) as the jitted data-parallel train step.
 
 Prints ONE JSON line:
-    {"metric": "...", "value": N, "unit": "steps/sec/chip", "vs_baseline": N}
+    {"metric": "...", "value": N, "unit": "steps/sec/chip",
+     "vs_baseline": N, "mfu": F, "rows": {...}}
 
-Baseline note: the reference publishes no numbers (README is one line;
-BASELINE.md).  ``vs_baseline`` is computed against the reference's
-*speed-of-light upper bound* on its own documented hardware,
-REF_GPU_STEPS_PER_SEC = 19.3:
+``rows`` carries the secondary workload gates (VERDICT r2 item 6):
+  protein_train_b4 / _b16   ProtNet d1024/8h/12l train step at the
+                            reference's GPU-memory-bound batch 4 and the
+                            TPU-scaled batch 16 (+ MFU for each: the
+                            batch-16-at-same-step-rate observation
+                            quantified, ``prot_train.py:21-47,90-111``)
+  bingham_train             RotPredict/SO3Diffusion train step, batch 64
+                            (``bingham_train.py:50,89``)
+  mmd_eval_20k              MMD(20k, 20k) with the rotation gaussian
+                            kernel — the Bingham acceptance-protocol eval
+                            (``bingham_test.py:7-29``)
+  sampler_1000 / ddim_50    full 1000-step ancestral reverse chain vs the
+                            beyond-reference DDIM-50, 512 chains
+                            (``diffusion.py:328-337`` cost envelope)
+
+Baseline note: the reference publishes no numbers (README is one line).
+``vs_baseline`` is computed against the reference's *speed-of-light upper
+bound* on its own documented hardware, REF_GPU_STEPS_PER_SEC = 19.3:
 
 * XLA's compiled cost analysis of this exact training step is 693.6
   GFLOP/step (fwd + bwd + Adam; model math identical to the reference's).
@@ -20,7 +33,7 @@ REF_GPU_STEPS_PER_SEC = 19.3:
   (``slurm-scripts/ncc_aircraft_rotate.sh``) — GTX 1080 Ti / RTX 2080 Ti
   class cards, <= 13.4 f32 TFLOP/s peak.
 * 13.4e12 / 693.6e9 = 19.3 steps/s at 100% FLOP efficiency with zero
-  overhead — i.e. the best the reference could possibly do on its own
+  overhead — the best the reference could possibly do on its own
   hardware, before paying for its per-step float64 IGSO(3) table rebuild,
   batched SVD orthogonalisation, ``matrix_exp``, and eager dispatch
   (its measured CPU throughput is 0.06 steps/s vs this framework's 0.07
@@ -29,9 +42,10 @@ REF_GPU_STEPS_PER_SEC = 19.3:
 The full derivation and sensitivity analysis (including the A100/TF32
 what-if) is in BASELINE.md "Re-baselining".  This chip's own compute
 speed of light for the workload is 197e12 / 693.6e9 = 284 steps/s; the
-measured number corresponds to ~71% MFU.
+``mfu`` field records measured/peak so the gate can never silently decay
+into a denominator change.
 
-Usage:  python bench.py [--quick] [--steps N] [--bf16]
+Usage:  python bench.py [--quick] [--steps N] [--bf16] [--headline-only]
 """
 from __future__ import annotations
 
@@ -60,6 +74,217 @@ from diffusion_extensions_tpu.processes.so3 import ProjectedSO3Diffusion
 from diffusion_extensions_tpu.train.state import TrainState
 
 REF_GPU_STEPS_PER_SEC = 19.3  # reference speed-of-light bound; see docstring
+PEAK_BF16 = 197e12  # TPU v5e bf16 TFLOP/s peak per chip
+
+
+def _flops_per_step(step_fn, *example_args, K: int = 1):
+    """XLA-reported FLOPs of the compiled step.  A lax.scan body is counted
+    once regardless of trip count (verified in tools/mfu_probe.py), so the
+    reported number IS the per-step cost for K-fused steps."""
+    try:
+        ca = step_fn.lower(*example_args).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return float(ca.get("flops", float("nan")))
+    except Exception:
+        return float("nan")
+
+
+def _time_calls(fn, args_fn, n_calls, warmup):
+    out = None
+    for _ in range(warmup):
+        out = fn(*args_fn())
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n_calls):
+        out = fn(*args_fn())
+    jax.block_until_ready(out)
+    return time.perf_counter() - t0
+
+
+def bench_aircraft(args, n_chips):
+    model = PlaneNet(
+        dim=args.dim, heads=args.heads, layers=args.layers, bf16=args.bf16
+    )
+    process = ProjectedSO3Diffusion(timesteps=1000)
+    truepos = jnp.broadcast_to(jnp.eye(3), (args.batch, 3, 3))
+    key = jax.random.PRNGKey(0)
+    params = model.init(
+        key,
+        jnp.zeros((args.batch, args.samples, 3)),
+        jnp.zeros((args.batch,), jnp.int32),
+    )
+    tx = optax.adam(1e-4)
+    state = TrainState.create(params, tx, key)
+    mesh = make_mesh()
+    loss_fn = make_loss_fn(model, process, truepos, so3=True)
+    K = max(args.steps_per_call, 1)
+    step_fn = make_dp_train_step(loss_fn, tx, mesh, steps_per_call=K)
+
+    data = synthetic_planes(256, points=args.samples, seed=0)
+    rng = np.random.default_rng(0)
+
+    def mk_batch():
+        b = jnp.asarray(data[rng.integers(0, len(data), K * args.batch)])
+        if K > 1:
+            b = b.reshape(K, args.batch, args.samples, 3)
+        return shard_batch(b, mesh) if K == 1 else jax.device_put(b)
+
+    batches = [mk_batch() for _ in range(8)]
+    flops = _flops_per_step(step_fn, state, batches[0], K=K)
+
+    n_calls = max(args.steps // K, 1)
+    warm_calls = max(args.warmup // K, 3)
+
+    holder = {"state": state}
+
+    def call(batch):
+        holder["state"], m = step_fn(holder["state"], batch)
+        return holder["state"].params
+
+    i = {"n": 0}
+
+    def next_args():
+        i["n"] += 1
+        return (batches[i["n"] % len(batches)],)
+
+    dt = _time_calls(call, next_args, n_calls, warm_calls)
+    steps_per_sec = n_calls * K / dt
+    per_chip = steps_per_sec / n_chips if n_chips > 1 else steps_per_sec
+    mfu = per_chip * flops / PEAK_BF16 if np.isfinite(flops) else None
+    return per_chip, mfu, flops
+
+
+def bench_protein(batch, quick):
+    from diffusion_extensions_tpu.data.pdb import (
+        pad_prot_batch, synthetic_prot_pair,
+    )
+    from diffusion_extensions_tpu.models.projections import ProtProjection
+    from diffusion_extensions_tpu.models.protnet import ProtNet
+    from diffusion_extensions_tpu.ops.se3 import AffineT
+    from diffusion_extensions_tpu.processes.se3 import ProjectedSE3Diffusion
+
+    rng = np.random.default_rng(0)
+    pairs = [synthetic_prot_pair(rng) for _ in range(16)]
+    lr = max(p[0].positions.shape[0] for p in pairs)
+    ll = max(p[1].positions.shape[0] for p in pairs)
+    pb = pad_prot_batch(
+        [pairs[i % len(pairs)] for i in range(batch)], lr, ll
+    )
+
+    model = ProtNet(dim=1024, heads=8, t_depth=12, c_depth=8, se3=True,
+                    bf16=True)
+    process = ProjectedSE3Diffusion(timesteps=1000)
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, pb, jnp.zeros((batch,), jnp.int32))
+    tx = optax.adam(1e-4)
+    state = TrainState.create(params, tx, key)
+    truepos = AffineT(
+        jnp.broadcast_to(jnp.eye(3), (batch, 3, 3)), jnp.zeros((batch, 3))
+    )
+
+    @jax.jit
+    def step_fn(state, pb):
+        key = jax.random.fold_in(state.key, state.step)
+        step_key, next_key = jax.random.split(key)
+
+        def loss_fn(params):
+            proj = ProtProjection(pb, se3=True)
+            return process.loss(
+                lambda x, t: model.apply(params, x, t), step_key, truepos,
+                projection=proj,
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(tx, grads, next_key), loss
+
+    flops = _flops_per_step(step_fn, state, pb)
+    holder = {"state": state}
+
+    def call(pb):
+        holder["state"], loss = step_fn(holder["state"], pb)
+        return loss
+
+    n_calls, warmup = (20, 3) if quick else (60, 8)
+    dt = _time_calls(call, lambda: (pb,), n_calls, warmup)
+    sps = n_calls / dt
+    mfu = sps * flops / PEAK_BF16 if np.isfinite(flops) else None
+    return sps, mfu, flops
+
+
+def bench_bingham(quick):
+    from diffusion_extensions_tpu.models.rot_predict import RotPredict
+    from diffusion_extensions_tpu.processes.so3 import SO3Diffusion
+
+    model = RotPredict(d_model=65, out_type="skewvec")
+    process = SO3Diffusion.create(timesteps=1000)
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, jnp.zeros((64, 3, 3)), jnp.zeros((64,), jnp.int32))
+    tx = optax.adam(1e-4)
+    state = TrainState.create(params, tx, key)
+    x_start = jnp.broadcast_to(jnp.eye(3), (64, 3, 3))
+
+    K = 16
+
+    @jax.jit
+    def step_fn(state):
+        def body(state, _):
+            key = jax.random.fold_in(state.key, state.step)
+            step_key, next_key = jax.random.split(key)
+            loss, grads = jax.value_and_grad(
+                lambda p: process.loss(
+                    lambda x, t: model.apply(p, x, t), step_key, x_start
+                )
+            )(state.params)
+            return state.apply_gradients(tx, grads, next_key), loss
+
+        state, losses = jax.lax.scan(body, state, jnp.arange(K))
+        return state, losses[-1]
+
+    holder = {"state": state}
+
+    def call():
+        holder["state"], loss = step_fn(holder["state"])
+        return loss
+
+    n_calls, warmup = (10, 2) if quick else (30, 4)
+    dt = _time_calls(call, lambda: (), n_calls, warmup)
+    return n_calls * K / dt
+
+
+def bench_mmd(quick):
+    from diffusion_extensions_tpu.ops.metrics import (
+        gaussian_kernel_matrix, mmd,
+    )
+    from diffusion_extensions_tpu.ops.so3 import haar_rotations
+
+    n = 8000 if quick else 20000
+    a = haar_rotations(jax.random.PRNGKey(1), (n,))
+    b = haar_rotations(jax.random.PRNGKey(2), (n,))
+    f = jax.jit(lambda a, b: mmd(a, b, gaussian_kernel_matrix, chunksize=4000))
+    dt = _time_calls(f, lambda: (a, b), 3, 1)
+    return n, dt / 3
+
+
+def bench_samplers(quick):
+    from diffusion_extensions_tpu.models.rot_predict import RotPredict
+    from diffusion_extensions_tpu.processes.so3 import SO3Diffusion
+
+    model = RotPredict(d_model=65, out_type="skewvec")
+    process = SO3Diffusion.create(timesteps=1000)
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, jnp.zeros((1, 3, 3)), jnp.zeros((1,), jnp.int32))
+    n = 512
+    denoise = lambda p, x, t: model.apply(p, x, t)
+
+    anc = jax.jit(lambda p, k: process.p_sample_loop(
+        lambda x, t: denoise(p, x, t), k, (n,)))
+    ddim = jax.jit(lambda p, k: process.ddim_sample_loop(
+        lambda x, t: denoise(p, x, t), k, (n,), num_steps=50))
+    reps = 2 if quick else 4
+    dt_anc = _time_calls(anc, lambda: (params, jax.random.PRNGKey(3)), reps, 1)
+    dt_ddim = _time_calls(ddim, lambda: (params, jax.random.PRNGKey(4)), reps, 1)
+    return n, dt_anc / reps, dt_ddim / reps
 
 
 def main(argv=None):
@@ -75,64 +300,44 @@ def main(argv=None):
     p.add_argument("--no-bf16", dest="bf16", action="store_false")
     p.add_argument("--steps-per-call", dest="steps_per_call", type=int,
                    default=8, help="fused optimizer steps per dispatch")
-    p.add_argument("--quick", action="store_true", help="50 steps")
+    p.add_argument("--quick", action="store_true", help="short measurement")
+    p.add_argument("--headline-only", dest="headline_only",
+                   action="store_true", help="skip the secondary rows")
     args = p.parse_args(argv)
     if args.quick:
         # enough calls that K-fused dispatch is measured steady-state
         args.steps, args.warmup = 80, 24
 
     n_chips = len(jax.devices())
-    model = PlaneNet(
-        dim=args.dim, heads=args.heads, layers=args.layers, bf16=args.bf16
-    )
-    process = ProjectedSO3Diffusion(timesteps=1000)
-    truepos = jnp.broadcast_to(jnp.eye(3), (args.batch, 3, 3))
+    per_chip, mfu, flops = bench_aircraft(args, n_chips)
 
-    key = jax.random.PRNGKey(0)
-    params = model.init(
-        key,
-        jnp.zeros((args.batch, args.samples, 3)),
-        jnp.zeros((args.batch,), jnp.int32),
-    )
-    tx = optax.adam(1e-4)
-    state = TrainState.create(params, tx, key)
+    rows = {}
+    if not args.headline_only:
+        for b in (4, 16):
+            sps, pmfu, pflops = bench_protein(b, args.quick)
+            rows[f"protein_train_b{b}"] = {
+                "steps_per_sec": round(sps, 2),
+                "mfu": round(pmfu, 4) if pmfu is not None else None,
+                "gflops_per_step": round(pflops / 1e9, 1),
+            }
+        rows["bingham_train"] = {
+            "steps_per_sec": round(bench_bingham(args.quick), 1)
+        }
+        n_mmd, mmd_s = bench_mmd(args.quick)
+        rows["mmd_eval"] = {"n_samples": n_mmd, "seconds": round(mmd_s, 3)}
+        n_s, anc_s, ddim_s = bench_samplers(args.quick)
+        rows["sampler_1000"] = {"chains": n_s, "seconds": round(anc_s, 3)}
+        rows["ddim_50"] = {"chains": n_s, "seconds": round(ddim_s, 3)}
 
-    mesh = make_mesh()
-    loss_fn = make_loss_fn(model, process, truepos, so3=True)
-    K = max(args.steps_per_call, 1)
-    step_fn = make_dp_train_step(loss_fn, tx, mesh, steps_per_call=K)
-
-    # Pre-generate data on device: the bench measures the training step
-    # (the metric's definition), not host data synthesis.
-    data = synthetic_planes(256, points=args.samples, seed=0)
-    rng = np.random.default_rng(0)
-    def mk_batch():
-        b = jnp.asarray(data[rng.integers(0, len(data), K * args.batch)])
-        if K > 1:
-            b = b.reshape(K, args.batch, args.samples, 3)
-        return shard_batch(b, mesh) if K == 1 else jax.device_put(b)
-    batches = [mk_batch() for _ in range(8)]
-
-    n_calls = max(args.steps // K, 1)
-    warm_calls = max(args.warmup // K, 3)
-    for i in range(warm_calls):
-        state, metrics = step_fn(state, batches[i % len(batches)])
-    jax.block_until_ready(state.params)
-
-    t0 = time.perf_counter()
-    for i in range(n_calls):
-        state, metrics = step_fn(state, batches[i % len(batches)])
-    jax.block_until_ready(state.params)
-    dt = time.perf_counter() - t0
-
-    steps_per_sec = n_calls * K / dt
-    per_chip = steps_per_sec / n_chips if n_chips > 1 else steps_per_sec
     result = {
         "metric": "aircraft_rotate train steps/sec/chip "
         "(PlaneNet d512 h4 l4, batch 32, 256 pts, ProjectedSO3Diffusion)",
         "value": round(per_chip, 2),
         "unit": "steps/sec/chip",
         "vs_baseline": round(per_chip / REF_GPU_STEPS_PER_SEC, 2),
+        "mfu": round(mfu, 4) if mfu is not None else None,
+        "gflops_per_step": round(flops / 1e9, 1) if np.isfinite(flops) else None,
+        "rows": rows,
     }
     print(json.dumps(result))
     return result

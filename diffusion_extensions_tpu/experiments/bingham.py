@@ -147,33 +147,60 @@ def test(args):
     bing_samples = quat_to_rmat(
         dist.sample(jax.random.PRNGKey(args.seed + 2), (SAMPLES,))
     )
-    runs = SAMPLES // NET_SAMPLES
-    sampler = jax.jit(
-        lambda p, k: process.p_sample_loop(
-            lambda x, t: model.apply(p, x, t), k, (NET_SAMPLES,)
-        )
-    )
-    chunks = [
-        sampler(params, jax.random.fold_in(jax.random.PRNGKey(args.seed + 3), i))
-        for i in range(runs)
-    ]
-    diff_samples = jnp.concatenate(chunks, axis=0)
-    val = float(
-        mmd(bing_samples, diff_samples, gaussian_kernel_matrix, chunksize=MMD_CHUNK)
-    )
     # reference acceptance threshold (util.py:289-299), alpha = 0.05
     import math
+    import os
+    import time
 
     accept = (2.0 / SAMPLES) ** 0.5 * (1 + (2 * math.log(1 / 0.05)) ** 0.5)
-    out = {"cov": args.cov, "mmd": val, "count": SAMPLES,
-           "accept_threshold": accept, "passes": val < accept}
-    print(json.dumps(out))
-    import os
-
     os.makedirs("results", exist_ok=True)
+
+    def run_sampler(make_loop, tag):
+        sampler = jax.jit(make_loop)
+        runs = SAMPLES // NET_SAMPLES
+        chunks = []
+        t0 = time.perf_counter()
+        for i in range(runs):
+            chunks.append(sampler(params, jax.random.fold_in(
+                jax.random.PRNGKey(args.seed + 3), i)))
+        jax.block_until_ready(chunks)
+        dt = time.perf_counter() - t0
+        diff_samples = jnp.concatenate(chunks, axis=0)
+        val = float(mmd(bing_samples, diff_samples, gaussian_kernel_matrix,
+                        chunksize=MMD_CHUNK))
+        return {"cov": args.cov, "sampler": tag, "mmd": val, "count": SAMPLES,
+                "accept_threshold": accept, "passes": val < accept,
+                "sample_seconds": round(dt, 2)}
+
+    denoise = lambda p: (lambda x, t: model.apply(p, x, t))
+    out = run_sampler(
+        lambda p, k: process.p_sample_loop(denoise(p), k, (NET_SAMPLES,)),
+        "ancestral_1000",
+    )
+    print(json.dumps(out))
     with open(f"results/bingham_mmd_{args.cov}.json", "w") as f:
         json.dump(out, f)
-    return val
+
+    if args.sampler_ab:
+        # trained-model sampler A/B (VERDICT r2 item 4): the accelerated
+        # beyond-reference samplers against the same acceptance threshold
+        ab = [out]
+        for tag, make_loop in (
+            ("ddim_50", lambda p, k: process.ddim_sample_loop(
+                denoise(p), k, (NET_SAMPLES,), num_steps=50)),
+            ("ddim_20", lambda p, k: process.ddim_sample_loop(
+                denoise(p), k, (NET_SAMPLES,), num_steps=20)),
+            ("pf_heun_25", lambda p, k: process.pf_sample_loop(
+                denoise(p), k, (NET_SAMPLES,), num_steps=25, method="heun")),
+            ("pf_euler_50", lambda p, k: process.pf_sample_loop(
+                denoise(p), k, (NET_SAMPLES,), num_steps=50, method="euler")),
+        ):
+            rec = run_sampler(make_loop, tag)
+            print(json.dumps(rec))
+            ab.append(rec)
+        with open(f"results/bingham_sampler_ab_{args.cov}.json", "w") as f:
+            json.dump(ab, f)
+    return out["mmd"]
 
 
 def parse_args(argv=None):
@@ -199,6 +226,11 @@ def parse_args(argv=None):
     p.add_argument("--debug-nans", dest="debug_nans", action="store_true",
                    help="enable jax_debug_nans (the torch anomaly-mode equivalent)")
     p.add_argument("--test", action="store_true")
+    p.add_argument("--sampler-ab", dest="sampler_ab", action="store_true",
+                   help="with --test: A/B the accelerated samplers "
+                        "(DDIM-50/20, PF-Heun-25, PF-Euler-50) against the "
+                        "ancestral 1000-step chain on the trained model, "
+                        "MMD vs the same acceptance threshold")
     args = p.parse_args(argv)
     if args.ckpt is None and args.cov != "all":
         args.ckpt = f"weights/bingham_{args.cov}"

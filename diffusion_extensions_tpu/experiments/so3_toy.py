@@ -103,11 +103,22 @@ def test(args):
             )
         )(params, jax.random.PRNGKey(args.seed + 2))
     else:
-        samples = jax.jit(
-            lambda p, k: process.p_sample_loop(
-                lambda x, t: model.apply(p, x, t), k, (args.eval_batch,)
-            )
-        )(params, jax.random.PRNGKey(args.seed + 2))
+        # sampler selection (trained-model A/B evidence for the
+        # beyond-reference accelerated chains, BENCHMARKS.md "Chains")
+        def make_loop(p, k):
+            denoise = lambda x, t: model.apply(p, x, t)
+            if args.sampler == "ddim":
+                return process.ddim_sample_loop(
+                    denoise, k, (args.eval_batch,),
+                    num_steps=args.sampler_steps)
+            if args.sampler == "pf":
+                return process.pf_sample_loop(
+                    denoise, k, (args.eval_batch,),
+                    num_steps=args.sampler_steps, method="heun")
+            return process.p_sample_loop(denoise, k, (args.eval_batch,))
+
+        samples = jax.jit(make_loop)(
+            params, jax.random.PRNGKey(args.seed + 2))
     samples.block_until_ready()
     dt = time.perf_counter() - t0
 
@@ -171,6 +182,12 @@ def parse_args(argv=None):
     p.add_argument("--debug-nans", dest="debug_nans", action="store_true",
                    help="enable jax_debug_nans (the torch anomaly-mode equivalent)")
     p.add_argument("--test", action="store_true")
+    p.add_argument("--sampler", choices=("ancestral", "ddim", "pf"),
+                   default="ancestral",
+                   help="reverse chain for --test: ancestral 1000-step, "
+                        "DDIM, or probability-flow Heun (score-driven)")
+    p.add_argument("--sampler-steps", dest="sampler_steps", type=int,
+                   default=50, help="model evals for ddim/pf samplers")
     p.add_argument("--eval-batch", dest="eval_batch", type=int, default=512)
     p.add_argument("--plot", nargs="?", const=True, default=False,
                    help="save euler-angle convergence traces (optional path)")

@@ -153,3 +153,41 @@ def test_graft_entry_importable():
 
     out = jax.jit(fn)(*args)
     assert out.shape == (8, 3)
+
+
+def test_sweep_metric_collection_and_ranking(tmp_path):
+    """tools/sweep.py metric plumbing: JSONL aggregation + ranking
+    (the wandb-sweep 'test loss' optimisation semantics, offline)."""
+    import importlib.util
+    import json
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    spec = importlib.util.spec_from_file_location(
+        "sweep", str(root / "tools" / "sweep.py"))
+    sweep = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sweep)
+
+    log = tmp_path / "m.jsonl"
+    with open(log, "w") as f:
+        for v in (5.0, 3.0, 4.0):
+            f.write(json.dumps({"loss": v}) + "\n")
+        f.write("not json\n")
+        f.write(json.dumps({"other": 1.0}) + "\n")
+    assert sweep.collect_metric(str(log), "loss", "last") == 4.0
+    assert sweep.collect_metric(str(log), "loss", "min") == 3.0
+    assert sweep.collect_metric(str(log), "loss", "mean10") == 4.0
+    assert sweep.collect_metric(str(log), "missing") is None
+    assert sweep.collect_metric(str(tmp_path / "absent.jsonl"), "loss") is None
+
+    results = [
+        {"tag": "a", "value": 2.0},
+        {"tag": "b", "value": 1.0},
+        {"tag": "c", "value": None},
+        {"tag": "d", "value": 3.0},
+    ]
+    ranked = sweep.rank_results([dict(r) for r in results])
+    assert [r["tag"] for r in ranked] == ["b", "a", "d", "c"]
+    assert [r["rank"] for r in ranked] == [1, 2, 3, 4]
+    ranked_max = sweep.rank_results([dict(r) for r in results], maximize=True)
+    assert [r["tag"] for r in ranked_max] == ["d", "a", "b", "c"]

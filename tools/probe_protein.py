@@ -23,7 +23,12 @@ import optax
 
 sys.path.insert(0, ".")
 
-from diffusion_extensions_tpu.data.pdb import pad_prot_batch, synthetic_prot_pair
+from diffusion_extensions_tpu.data.pdb import (
+    move_prots_np,
+    pad_prot_batch,
+    random_affine_np,
+    synthetic_prot_pair,
+)
 from diffusion_extensions_tpu.models.projections import ProtProjection
 from diffusion_extensions_tpu.models.protnet import ProtNet
 from diffusion_extensions_tpu.ops.se3 import AffineT
@@ -41,6 +46,12 @@ def main(argv=None):
     p.add_argument("--t_depth", type=int, default=12)
     p.add_argument("--c_depth", type=int, default=8)
     p.add_argument("--frame-pool", dest="frame_pool", action="store_true")
+    p.add_argument("--cross-depth", dest="cross_depth", type=int, default=0)
+    p.add_argument("--rel-frame", dest="rel_frame", action="store_true")
+    p.add_argument("--augment", action="store_true",
+                   help="probe under the reference's Haar SE(3) "
+                        "augmentation (prot_train.py:95-100) instead of "
+                        "canonical poses")
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--rounds", type=int, default=8)
     p.add_argument("--timesteps", type=int, default=1000)
@@ -51,11 +62,22 @@ def main(argv=None):
     pairs = [synthetic_prot_pair(rng) for _ in range(16)]
     lr = max(q[0].positions.shape[0] for q in pairs)
     ll = max(q[1].positions.shape[0] for q in pairs)
-    batch = pad_prot_batch([pairs[i % 16] for i in range(B)], lr, ll)
+    def collate(round_idx):
+        chosen = []
+        for i in range(B):
+            rec, lig = pairs[(i + round_idx) % 16]
+            if args.augment:
+                rot, shift = random_affine_np(rng)
+                rec, lig = move_prots_np(rot, shift, (rec, lig))
+            chosen.append((rec, lig))
+        return pad_prot_batch(chosen, lr, ll)
+
+    batch = collate(0)
 
     model = ProtNet(
         dim=args.dim, heads=args.heads, t_depth=args.t_depth,
         c_depth=args.c_depth, se3=True, frame_pool=args.frame_pool,
+        cross_depth=args.cross_depth, rel_frame=args.rel_frame,
     )
     proc = ProjectedSE3Diffusion(timesteps=args.timesteps)
     key = jax.random.PRNGKey(0)
@@ -68,7 +90,7 @@ def main(argv=None):
     truepos = AffineT(jnp.broadcast_to(jnp.eye(3), (B, 3, 3)), jnp.zeros((B, 3)))
 
     @jax.jit
-    def probe(params, k, t_scalar):
+    def probe(params, k, t_scalar, batch):
         t = jnp.full((B,), t_scalar, jnp.int32)
         eps = extract(proc.schedule.sqrt_one_minus_alphas_cumprod, t, 1)
         noise = proc.sample_noise(k, t)
@@ -85,7 +107,8 @@ def main(argv=None):
         acc = np.zeros(4)
         for r in range(args.rounds):
             k = jax.random.fold_in(jax.random.PRNGKey(42), t_s * 10 + r)
-            acc += np.array([float(x) for x in probe(params, k, t_s)])
+            rb = collate(r) if args.augment else batch
+            acc += np.array([float(x) for x in probe(params, k, t_s, rb)])
         acc /= args.rounds
         print(f"t={t_s:4d}  rot: model {acc[0]:.4f} vs zero {acc[1]:.4f} | "
               f"shift: model {acc[2]:.4f} vs zero {acc[3]:.4f}")

@@ -17,6 +17,17 @@ python -u -m tools.probe_protein --ckpt weights/protein_se3_xattn \
   --frame-pool --cross-depth 2 --rel-frame --augment \
   2>&1 | tee results/prot_se3_xattn_probe.log
 
+# 1.5) re-evaluate the round-2 flagship aircraft checkpoints under the
+#      CORRECTED eval protocol (random point subsampling instead of the
+#      head slice that yielded fuselage-only, near-axially-symmetric
+#      clouds — see aircraft.test())
+python -u -m diffusion_extensions_tpu.experiments.aircraft --so3 --bf16 \
+  --test --max-shapes 128 --ckpt weights/aircraft_so3_r2 \
+  2>&1 | tee results/aircraft_so3_r2_reeval.log
+python -u -m diffusion_extensions_tpu.experiments.aircraft --bf16 \
+  --test --max-shapes 128 --ckpt weights/aircraft_eul_r2 \
+  2>&1 | tee results/aircraft_eul_r2_reeval.log
+
 # 2) matched reduced-config aircraft arms (cross-implementation euler
 #    comparison: same config/data/budget as tools/ref_euler_harness.py
 #    train; so3 arm as the learnability control)

@@ -267,6 +267,122 @@ class SE3Diffusion:
             )
         return x_recon
 
+    def pf_sample_loop(
+        self,
+        denoise_fn,
+        key,
+        shape,
+        num_steps: int = 50,
+        projection=None,
+        method: str = "heun",
+    ) -> AffineT:
+        """Probability-flow (ODE) sampler on the product space — the SE(3)
+        extension of ``SO3Diffusion.pf_sample_loop``.
+
+        Rotation block: the analytic IGSO(3) score of the relative
+        rotation (``igso3_score_vec`` / fused Pallas kernel on TPU)
+        integrated in the eps_t noise coordinate.  Shift block: the
+        Gaussian conditional score -(shift - anchor)/sigma_sh^2 with
+        sigma_sh = eps_t * shift_scale — the same VE-form ODE
+        d(state)/d(sigma) = -sigma * score, both blocks anchored to the
+        model's x0-hat per step.  ``method``: "euler" or Heun with
+        denoiser re-evaluation.
+        """
+        if method not in ("euler", "heun"):
+            raise ValueError(f"Unexpected pf method: {method}")
+        from ..ops.igso3 import igso3_score_vec
+
+        if isinstance(shape, int):
+            shape = (shape,)
+        b = shape[0]
+        key, k_rot, k_shift = jax.random.split(key, 3)
+        x0 = AffineT(
+            haar_rotations(k_rot, (b,)),
+            jax.random.normal(k_shift, (b, 3)),
+        )
+
+        T = self.num_timesteps
+        ts = jnp.linspace(T - 1, 0, num_steps + 1).round().astype(jnp.int32)
+        s = self.schedule
+
+        def clip_recon(x_recon: AffineT) -> AffineT:
+            if self.clip_shift > 0.0:
+                return AffineT(
+                    x_recon.rot,
+                    jnp.clip(x_recon.shift, -self.clip_shift,
+                             self.clip_shift),
+                )
+            return x_recon
+
+        def eval_drift(x: AffineT, t):
+            x_in = projection(x) if projection is not None else x
+            pred: AffineGrad = denoise_fn(x_in, t)
+            x_recon = clip_recon(self.predict_start_from_noise(x, t, pred))
+            acp = extract(s.sqrt_alphas_cumprod, t)
+            eps_t = extract(s.sqrt_one_minus_alphas_cumprod, t)
+            rot_anchor = so3_scale(x_recon.rot, acp)
+            rel = rmul(jnp.swapaxes(rot_anchor, -1, -2), x.rot)
+            rot_score = igso3_score_vec(rel, eps_t)
+            # Gaussian conditional score in the shift block
+            shift_resid = x.shift - acp[..., None] * x_recon.shift
+            sigma_sh = eps_t[..., None] * self.shift_scale
+            shift_score = -shift_resid / jnp.maximum(sigma_sh**2, 1e-20)
+            return x_recon, rel, rot_score, shift_score, eps_t
+
+        def assemble(x_recon, rel_new, shift_resid_new, t_prev):
+            acp_prev = extract(s.sqrt_alphas_cumprod, t_prev)
+            return AffineT(
+                rmul(so3_scale(x_recon.rot, acp_prev), rel_new),
+                acp_prev[..., None] * x_recon.shift + shift_resid_new,
+            )
+
+        def step(x, i):
+            t = jnp.full((b,), ts[i], dtype=jnp.int32)
+            t_prev = jnp.full((b,), ts[i + 1], dtype=jnp.int32)
+            x_recon, rel, rs1, ss1, eps_t = eval_drift(x, t)
+            eps_p = extract(s.sqrt_one_minus_alphas_cumprod, t_prev)
+            dsig = (eps_p - eps_t)[..., None]  # noise-coordinate step (< 0)
+            u1 = -eps_t[..., None] * rs1 * dsig
+            # shift integrates in sigma_sh = eps * shift_scale coordinates:
+            # d resid / d sigma_sh = -sigma_sh * score = resid / sigma_sh
+            acp = extract(s.sqrt_alphas_cumprod, t)
+            resid = x.shift - acp[..., None] * x_recon.shift
+            v1 = -(eps_t[..., None] * self.shift_scale) * ss1 * (
+                dsig * self.shift_scale
+            )
+            x_euler = assemble(
+                x_recon, rmul(rel, exp_skewvec(u1)), resid + v1, t_prev
+            )
+            if method == "heun":
+                x_recon2, _, rs2, ss2, _ = eval_drift(x_euler, t_prev)
+                u2 = -eps_p[..., None] * rs2 * dsig
+                acp_prev = extract(s.sqrt_alphas_cumprod, t_prev)
+                resid2 = x_euler.shift - acp_prev[..., None] * x_recon2.shift
+                v2 = -(eps_p[..., None] * self.shift_scale) * ss2 * (
+                    dsig * self.shift_scale
+                )
+                x_new = assemble(
+                    x_recon2,
+                    rmul(rel, exp_skewvec(0.5 * (u1 + u2))),
+                    resid + 0.5 * (v1 + v2),
+                    t_prev,
+                )
+            else:
+                x_new = x_euler
+            hold = (t_prev == t)
+            x_new = AffineT(
+                jnp.where(hold[..., None, None], x_recon.rot, x_new.rot),
+                jnp.where(hold[..., None], x_recon.shift, x_new.shift),
+            )
+            return x_new, None
+
+        x, _ = jax.lax.scan(step, x0, jnp.arange(num_steps))
+        t0 = jnp.zeros((b,), dtype=jnp.int32)
+        x_in = projection(x) if projection is not None else x
+        return clip_recon(
+            self.predict_start_from_noise(x, t0, denoise_fn(x_in, t0))
+        )
+
     # -- training --------------------------------------------------------
     def p_losses(self, denoise_fn, key, x_start: AffineT, t, projection=None):
         """grad_mse loss on descaled tangent noise

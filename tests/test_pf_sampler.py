@@ -77,3 +77,40 @@ def test_pf_invalid_method_raises():
         proc.pf_sample_loop(
             lambda x, t: jnp.zeros((x.shape[0], 3)),
             jax.random.PRNGKey(0), (4,), method="rk4")
+
+
+@pytest.mark.parametrize("method", ["euler", "heun"])
+def test_se3_pf_oracle_converges_to_delta(method):
+    """SE(3) PF chain with the oracle denoiser for a delta at (I, 0):
+    both blocks must contract (rotation via the analytic IGSO(3) score,
+    shift via the Gaussian conditional score)."""
+    from diffusion_extensions_tpu.ops.se3 import AffineGrad
+    from diffusion_extensions_tpu.processes.se3 import ProjectedSE3Diffusion
+
+    proc = ProjectedSE3Diffusion(timesteps=1000, clip_shift=75.0)
+    s = proc.schedule
+
+    def oracle(x, t):
+        recip = extract(s.sqrt_recipm1_alphas_cumprod, t, 1)
+        rot_g = so3_ops.log_rmat_vec(x.rot) / jnp.maximum(recip, 1e-8)
+        shift_g = x.shift / jnp.maximum(recip * proc.shift_scale, 1e-8)
+        return AffineGrad(rot_g, shift_g)
+
+    out = jax.jit(
+        lambda k: proc.pf_sample_loop(oracle, k, (64,), num_steps=25,
+                                      method=method)
+    )(jax.random.PRNGKey(3))
+    angles = np.asarray(so3_ops.rotation_angle(out.rot))
+    shifts = np.linalg.norm(np.asarray(out.shift), axis=-1)
+    assert np.isfinite(angles).all() and np.isfinite(shifts).all()
+    assert np.median(angles) < 0.1, np.median(angles)
+    assert np.median(shifts) < 0.1, np.median(shifts)
+
+
+def test_se3_pf_invalid_method_raises():
+    from diffusion_extensions_tpu.processes.se3 import ProjectedSE3Diffusion
+
+    proc = ProjectedSE3Diffusion(timesteps=10)
+    with pytest.raises(ValueError):
+        proc.pf_sample_loop(lambda x, t: None, jax.random.PRNGKey(0), (4,),
+                            method="rk4")

@@ -79,5 +79,7 @@ python -u tools/sweep.py lock \
   -- --param so3 --print-every 500 \
   2>&1 | tee results/sweep_lock_r3.log
 
-# 6) full multi-workload bench
+# 6) full multi-workload bench (+ a K=16 dispatch-fusion headroom probe)
 python -u bench.py 2>&1 | tee results/bench_r3.log
+python -u bench.py --quick --headline-only --steps-per-call 16 \
+  2>&1 | tee results/bench_r3_k16.log

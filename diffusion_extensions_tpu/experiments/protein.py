@@ -73,6 +73,7 @@ def build(args):
         frame_pool=args.frame_pool,
         cross_depth=args.cross_depth,
         rel_frame=args.rel_frame,
+        equiv_head=args.equiv_head,
     )
     if args.se3:
         process = ProjectedSE3Diffusion(
@@ -338,6 +339,11 @@ def parse_args(argv=None):
                    help="append the bilinear relative-frame readout "
                         "P_lig @ P_rec^T of gated-pooled frames "
                         "(beyond-reference; see ProtNet.rel_frame)")
+    p.add_argument("--equiv-head", dest="equiv_head", action="store_true",
+                   help="receptor-frame-equivariant output head: predict "
+                        "in the pooled receptor frame and rotate out — "
+                        "reduces the Haar-augmented task to the canonical "
+                        "one (beyond-reference; see ProtNet.equiv_head)")
     p.add_argument("--timesteps", type=int, default=1000)
     p.add_argument("--steps", type=int, default=250_000,
                    help="total batch steps (~1000 epochs of BPTI_dock)")

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.se3 import AffineGrad, ProtData
+from ..ops.so3 import rmat2six, six2rmat
 from .layers import (
     PoolFrame,
     PoolPos,
@@ -85,6 +86,17 @@ class ProtNet(nn.Module):
     # rotation conjugated by the (observable) augmentation — the exact
     # R_rec^T R_lig observable the rotation target needs; off by default
     rel_frame: bool = False
+    # receptor-frame-EQUIVARIANT output head: estimate the augmentation
+    # rotation from the pooled receptor frame (rows of P_r are
+    # R_aug-rotated canonical vectors; Gram-Schmidt of its first two rows
+    # gives Rhat = C R_aug^T for a fixed C) and emit
+    # out_world = Rhat^T @ out_local.  The world-frame targets are
+    # log(R_noise)/eps and shift/(eps*scale); in this parameterisation the
+    # learnable map (features -> out_local) is the SAME function for every
+    # augmentation R_aug — i.e. the Haar-augmented task reduces to the
+    # canonical-pose task the round-2 frame-pool arm already solved
+    # (BENCHMARKS.md protein section).  Off by default
+    equiv_head: bool = False
 
     @nn.compact
     def __call__(self, x: ProtBatch, t: jax.Array, deterministic: bool = True):
@@ -156,6 +168,15 @@ class ProtNet(nn.Module):
         for _ in range(3):
             h = h + nn.silu(nn.Dense(dim)(h))
         out = nn.Dense(6)(h)
+        if self.equiv_head:
+            # smooth Gram-Schmidt (not SVD: no degenerate-singular-value
+            # gradient hazards) of the gated-pooled receptor frame
+            pr = PoolFrame(heads=1)(r_out, x.receptor.angles, x.receptor_mask)
+            pr = pr.reshape(*pr.shape[:-1], 3, 3)
+            rhat = six2rmat(rmat2six(pr))  # = C @ R_aug^T
+            rot = jnp.einsum("...ji,...j->...i", rhat, out[..., :3])
+            shf = jnp.einsum("...ji,...j->...i", rhat, out[..., 3:])
+            out = jnp.concatenate([rot, shf], axis=-1)
         if self.se3:
             return AffineGrad(rot_g=out[..., :3], shift_g=out[..., 3:])
         return out

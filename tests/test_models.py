@@ -306,3 +306,52 @@ def test_protnet_rel_frame_rotation_sensitivity():
         t,
     )
     assert float(jnp.max(jnp.abs(out0.rot_g - out1.rot_g))) > 1e-4
+
+
+def test_equiv_head_frame_algebra():
+    """The Gram-Schmidt receptor-frame estimate transforms correctly:
+    rows of P are R_aug-rotated canonical vectors (frames transform as
+    F @ R^T, projections.py:74), so rhat(P @ Rg^T) == rhat(P) @ Rg^T and
+    rhat^T u picks up the rotation on the left — the property that makes
+    the equivariant head's learnable map augmentation-independent."""
+    from diffusion_extensions_tpu.ops.so3 import (
+        exp_skewvec as exps, rmat2six, six2rmat,
+    )
+
+    key = jax.random.PRNGKey(0)
+    P = jax.random.normal(key, (5, 3, 3))
+    Rg = exps(jax.random.normal(jax.random.PRNGKey(1), (5, 3)))
+    rhat = six2rmat(rmat2six(P))
+    rhat_rot = six2rmat(rmat2six(jnp.matmul(P, jnp.swapaxes(Rg, -1, -2))))
+    np.testing.assert_allclose(
+        np.asarray(rhat_rot),
+        np.asarray(jnp.matmul(rhat, jnp.swapaxes(Rg, -1, -2))),
+        atol=1e-5,
+    )
+    # head output: rhat^T u -> (rhat Rg^T)^T u = Rg rhat^T u
+    u = jax.random.normal(jax.random.PRNGKey(2), (5, 3))
+    out = jnp.einsum("...ji,...j->...i", rhat, u)
+    out_rot = jnp.einsum("...ji,...j->...i", rhat_rot, u)
+    np.testing.assert_allclose(
+        np.asarray(out_rot),
+        np.asarray(jnp.einsum("...ij,...j->...i", Rg, out)),
+        atol=1e-5,
+    )
+
+
+def test_protnet_equiv_head_forward():
+    batch = _fake_prot_batch(jax.random.PRNGKey(0))
+    m = ProtNet(dim=32, heads=2, t_depth=1, c_depth=3, se3=True,
+                cross_depth=1, rel_frame=True, equiv_head=True)
+    t = jnp.zeros((2,), dtype=jnp.int32)
+    params = m.init(jax.random.PRNGKey(1), batch, t)
+    out = m.apply(params, batch, t)
+    assert out.rot_g.shape == (2, 3) and out.shift_g.shape == (2, 3)
+    assert np.isfinite(np.asarray(out.rot_g)).all()
+    # gradients flow through the Gram-Schmidt head without NaNs
+    def loss(p):
+        o = m.apply(p, batch, t)
+        return jnp.sum(o.rot_g**2) + jnp.sum(o.shift_g**2)
+    g = jax.grad(loss)(params)
+    flat = jnp.concatenate([jnp.ravel(x) for x in jax.tree_util.tree_leaves(g)])
+    assert np.isfinite(np.asarray(flat)).all()

@@ -48,6 +48,7 @@ def main(argv=None):
     p.add_argument("--frame-pool", dest="frame_pool", action="store_true")
     p.add_argument("--cross-depth", dest="cross_depth", type=int, default=0)
     p.add_argument("--rel-frame", dest="rel_frame", action="store_true")
+    p.add_argument("--equiv-head", dest="equiv_head", action="store_true")
     p.add_argument("--augment", action="store_true",
                    help="probe under the reference's Haar SE(3) "
                         "augmentation (prot_train.py:95-100) instead of "
@@ -78,6 +79,7 @@ def main(argv=None):
         dim=args.dim, heads=args.heads, t_depth=args.t_depth,
         c_depth=args.c_depth, se3=True, frame_pool=args.frame_pool,
         cross_depth=args.cross_depth, rel_frame=args.rel_frame,
+        equiv_head=args.equiv_head,
     )
     proc = ProjectedSE3Diffusion(timesteps=args.timesteps)
     key = jax.random.PRNGKey(0)

@@ -315,6 +315,10 @@ class SE3Diffusion:
             return x_recon
 
         def eval_drift(x: AffineT, t):
+            # scores evaluated at the MODEL'S predicted noise (rotation
+            # N_hat = exp(eps v_hat); shift resid_hat = eps*scale*z_hat):
+            # the marginal-consistent eps-parameterised PF drift — see
+            # SO3Diffusion.pf_sample_loop.eval_drift
             x_in = projection(x) if projection is not None else x
             pred: AffineGrad = denoise_fn(x_in, t)
             x_recon = clip_recon(self.predict_start_from_noise(x, t, pred))
@@ -322,11 +326,12 @@ class SE3Diffusion:
             eps_t = extract(s.sqrt_one_minus_alphas_cumprod, t)
             rot_anchor = so3_scale(x_recon.rot, acp)
             rel = rmul(jnp.swapaxes(rot_anchor, -1, -2), x.rot)
-            rot_score = igso3_score_vec(rel, eps_t)
-            # Gaussian conditional score in the shift block
-            shift_resid = x.shift - acp[..., None] * x_recon.shift
+            n_hat = exp_skewvec(pred.rot_g * eps_t[..., None])
+            rot_score = igso3_score_vec(n_hat, eps_t)
             sigma_sh = eps_t[..., None] * self.shift_scale
-            shift_score = -shift_resid / jnp.maximum(sigma_sh**2, 1e-20)
+            shift_score = -(sigma_sh * pred.shift_g) / jnp.maximum(
+                sigma_sh**2, 1e-20
+            )
             return x_recon, rel, rot_score, shift_score, eps_t
 
         def assemble(x_recon, rel_new, shift_resid_new, t_prev):

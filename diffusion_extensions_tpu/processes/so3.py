@@ -297,14 +297,26 @@ class SO3Diffusion:
         s = self.schedule
 
         def eval_drift(x, t):
-            """Model eval -> (x0_hat, Rel, right-tangent score at x)."""
+            """Model eval -> (x0_hat, Rel, right-tangent score at x).
+
+            The score is the analytic IGSO(3) score evaluated at the
+            MODEL'S predicted noise rotation N_hat = exp(eps_t * v_hat),
+            not at the raw relative rotation: v_hat is a posterior MEAN,
+            and evaluating at N_hat is the marginal-consistent
+            generalisation of the Euclidean eps-parameterised PF-ODE
+            (score = -v_hat/eps in the Gaussian limit) — evaluating the
+            conditional score at the posterior-mean anchor instead is
+            biased whenever p(x0 | x_t) is broad (measured: it fails the
+            Bingham acceptance A/B that this form passes,
+            results/bingham_sampler_ab_*.json)."""
             x_in = projection(x) if projection is not None else x
             v = denoise_fn(x_in, t)
             x_recon = self.predict_start_from_noise(x, t, v)
             anchor = so3_scale(x_recon, extract(s.sqrt_alphas_cumprod, t))
             rel = rmul(jnp.swapaxes(anchor, -1, -2), x)
             eps_t = extract(s.sqrt_one_minus_alphas_cumprod, t)
-            score = igso3_score_vec(rel, eps_t)
+            n_hat = exp_skewvec(v * eps_t[..., None])
+            score = igso3_score_vec(n_hat, eps_t)
             return x_recon, rel, score, eps_t
 
         def step(x, i):

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.se3 import AffineGrad, ProtData
-from ..ops.so3 import rmat2six, six2rmat
+from ..ops.so3 import six2rmat
 from .layers import (
     PoolFrame,
     PoolPos,
@@ -87,9 +87,14 @@ class ProtNet(nn.Module):
     # R_rec^T R_lig observable the rotation target needs; off by default
     rel_frame: bool = False
     # receptor-frame-EQUIVARIANT output head: estimate the augmentation
-    # rotation from the pooled receptor frame (rows of P_r are
-    # R_aug-rotated canonical vectors; Gram-Schmidt of its first two rows
-    # gives Rhat = C R_aug^T for a fixed C) and emit
+    # rotation from two gated position-moment vectors of the receptor
+    # (gated means of centroid-centred positions — equivariant row vectors
+    # v_i' = v_i R_aug^T under a global rotation, and large/well-
+    # conditioned for any non-spherical receptor, unlike pooled FRAME
+    # matrices whose mean over randomly-oriented residues collapses
+    # toward zero — measured: the frame-matrix variant trained at the
+    # zero-predictor).  Gram-Schmidt of (v1, v2) gives
+    # Rhat = C @ R_aug^T for a fixed C; the head emits
     # out_world = Rhat^T @ out_local.  The world-frame targets are
     # log(R_noise)/eps and shift/(eps*scale); in this parameterisation the
     # learnable map (features -> out_local) is the SAME function for every
@@ -169,11 +174,19 @@ class ProtNet(nn.Module):
             h = h + nn.silu(nn.Dense(dim)(h))
         out = nn.Dense(6)(h)
         if self.equiv_head:
-            # smooth Gram-Schmidt (not SVD: no degenerate-singular-value
-            # gradient hazards) of the gated-pooled receptor frame
-            pr = PoolFrame(heads=1)(r_out, x.receptor.angles, x.receptor_mask)
-            pr = pr.reshape(*pr.shape[:-1], 3, 3)
-            rhat = six2rmat(rmat2six(pr))  # = C @ R_aug^T
+            # two gated position-moment vectors of the receptor -> smooth
+            # Gram-Schmidt frame (not SVD: no degenerate-singular-value
+            # gradient hazards; not pooled frame matrices: their mean over
+            # randomly-oriented residues collapses to zero)
+            rm = x.receptor_mask[..., None].astype(jnp.float32)
+            w = nn.sigmoid(nn.Dense(2)(r_out)) * rm  # (B, L, 2)
+            w_sum = jnp.maximum(jnp.sum(w, axis=-2), 1e-6)  # (B, 2)
+            denom = jnp.maximum(jnp.sum(rm, axis=-2), 1.0)
+            cen = jnp.sum(x.receptor.positions * rm, axis=-2) / denom
+            centered = x.receptor.positions - cen[..., None, :]
+            v = jnp.einsum("...lh,...ld->...hd", w, centered)
+            v = v / w_sum[..., None]  # (B, 2, 3) equivariant row vectors
+            rhat = six2rmat(v.reshape(*v.shape[:-2], 6))  # = C @ R_aug^T
             rot = jnp.einsum("...ji,...j->...i", rhat, out[..., :3])
             shf = jnp.einsum("...ji,...j->...i", rhat, out[..., 3:])
             out = jnp.concatenate([rot, shf], axis=-1)

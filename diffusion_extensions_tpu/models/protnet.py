@@ -17,7 +17,6 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.se3 import AffineGrad, ProtData
-from ..ops.so3 import six2rmat
 from .layers import (
     PoolFrame,
     PoolPos,
@@ -29,7 +28,7 @@ from .layers import (
 )
 from .projections import ProtBatch
 
-__all__ = ["ProtNet", "RES_COUNT", "UNIQUE_RESIDUES"]
+__all__ = ["ProtNet", "RES_COUNT", "UNIQUE_RESIDUES", "receptor_moment_frame"]
 
 # reference: prot_util.py:11-40
 UNIQUE_RESIDUES = [
@@ -54,6 +53,58 @@ class _ResConv(nn.Module):
         for _ in range(self.c_depth - 2):
             h = h + nn.silu(nn.Conv(self.dim, kernel_size=(3,), padding="SAME")(h))
         return nn.Conv(self.res_dim, kernel_size=(3,), padding="SAME")(h)
+
+
+def receptor_moment_frame(w: jax.Array, positions: jax.Array,
+                          mask: jax.Array, delta: float = 1e-3) -> jax.Array:
+    """Equivariant receptor frame from position moments.
+
+    ``w``: (B, L, 2) non-negative gate weights (already masked or not —
+    masking is applied here); ``positions``: (B, L, 3); ``mask``: (B, L).
+    Returns (B, 3, 3) with rows forming a right-handed orthonormal-ish
+    frame C @ R^T that co-rotates with any global rotation of the
+    positions and ignores global translation.
+
+    Robustness (measured failure modes):
+    * gated means of CENTRED positions vanish for near-uniform gates (the
+      centroid is subtracted), so each vector is anchored by a gate-free
+      odd moment that is O(1) after radius normalisation — the third
+      moment sum(d * |d|^2) and the sequence cross-moment
+      sum(d_l x d_{l+1}) (both equivariant; the cross moment needs
+      det R = +1, true for rotations) — with the learnable gated moments
+      added on top;
+    * hard Gram-Schmidt normalisation has 1/|v| gradients at small |v|
+      (NaN at bf16 scale within 500 steps, measured), so normalisation is
+      softened with ``delta``.
+    """
+    rm = mask[..., None].astype(positions.dtype)  # (B, L, 1)
+    denom = jnp.maximum(jnp.sum(rm, axis=-2), 1.0)  # (B, 1)
+    cen = jnp.sum(positions * rm, axis=-2) / denom
+    d = (positions - cen[..., None, :]) * rm
+    msq = jnp.sum(jnp.sum(d * d, axis=-1), axis=-1) / denom[..., 0]
+    radius = jnp.sqrt(jnp.maximum(msq, 1e-12))  # (B,)
+    dn = d / radius[..., None, None]
+
+    sq = jnp.sum(dn * dn, axis=-1, keepdims=True)
+    m3 = jnp.sum(dn * sq, axis=-2) / denom  # (B, 3) third moment
+    pair = (rm[..., :-1, :] * rm[..., 1:, :])
+    cross = jnp.sum(
+        jnp.cross(dn[..., :-1, :], dn[..., 1:, :]) * pair, axis=-2
+    ) / denom  # (B, 3) sequence cross moment
+
+    w = w * rm  # (B, L, 2)
+    w_sum = jnp.maximum(jnp.sum(w, axis=-2), 1e-6)  # (B, 2)
+    g = jnp.einsum("...lh,...ld->...hd", w, dn) / w_sum[..., None]
+    v1 = m3 + g[..., 0, :]
+    v2 = cross + g[..., 1, :]
+
+    def soft_norm(v):
+        return v / jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True) + delta**2)
+
+    b1 = soft_norm(v1)
+    b2 = soft_norm(v2 - jnp.sum(b1 * v2, axis=-1, keepdims=True) * b1)
+    b3 = jnp.cross(b1, b2)
+    return jnp.stack((b1, b2, b3), axis=-2)
 
 
 class ProtNet(nn.Module):
@@ -174,19 +225,10 @@ class ProtNet(nn.Module):
             h = h + nn.silu(nn.Dense(dim)(h))
         out = nn.Dense(6)(h)
         if self.equiv_head:
-            # two gated position-moment vectors of the receptor -> smooth
-            # Gram-Schmidt frame (not SVD: no degenerate-singular-value
-            # gradient hazards; not pooled frame matrices: their mean over
-            # randomly-oriented residues collapses to zero)
-            rm = x.receptor_mask[..., None].astype(jnp.float32)
-            w = nn.sigmoid(nn.Dense(2)(r_out)) * rm  # (B, L, 2)
-            w_sum = jnp.maximum(jnp.sum(w, axis=-2), 1e-6)  # (B, 2)
-            denom = jnp.maximum(jnp.sum(rm, axis=-2), 1.0)
-            cen = jnp.sum(x.receptor.positions * rm, axis=-2) / denom
-            centered = x.receptor.positions - cen[..., None, :]
-            v = jnp.einsum("...lh,...ld->...hd", w, centered)
-            v = v / w_sum[..., None]  # (B, 2, 3) equivariant row vectors
-            rhat = six2rmat(v.reshape(*v.shape[:-2], 6))  # = C @ R_aug^T
+            w = nn.sigmoid(nn.Dense(2)(r_out))  # (B, L, 2) moment gates
+            rhat = receptor_moment_frame(
+                w, x.receptor.positions, x.receptor_mask
+            )  # = C @ R_aug^T (see receptor_moment_frame docstring)
             rot = jnp.einsum("...ji,...j->...i", rhat, out[..., :3])
             shf = jnp.einsum("...ji,...j->...i", rhat, out[..., 3:])
             out = jnp.concatenate([rot, shf], axis=-1)

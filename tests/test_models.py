@@ -355,3 +355,49 @@ def test_protnet_equiv_head_forward():
     g = jax.grad(loss)(params)
     flat = jnp.concatenate([jnp.ravel(x) for x in jax.tree_util.tree_leaves(g)])
     assert np.isfinite(np.asarray(flat)).all()
+
+
+def test_receptor_moment_frame_equivariance_and_conditioning():
+    """The position-moment frame is (a) well-conditioned with uniform
+    gates (the degenerate case that broke the frame-matrix and plain
+    gated-moment variants), (b) equivariant under a global rotation +
+    translation of the positions: rhat' = rhat @ Rg^T."""
+    from diffusion_extensions_tpu.models.protnet import receptor_moment_frame
+
+    key = jax.random.PRNGKey(7)
+    pos = jax.random.normal(key, (3, 30, 3)) * 8.0
+    mask = jnp.arange(30)[None, :] < jnp.asarray([[30], [25], [18]])
+    w = jnp.full((3, 30, 2), 0.5)  # uniform gates: worst case
+
+    rhat = receptor_moment_frame(w, pos, mask)
+    eye = jnp.broadcast_to(jnp.eye(3), rhat.shape)
+    ortho = jnp.matmul(rhat, jnp.swapaxes(rhat, -1, -2),
+                       precision=jax.lax.Precision.HIGHEST)
+    np.testing.assert_allclose(np.asarray(ortho), np.asarray(eye), atol=2e-2)
+
+    Rg = exp_skewvec(jax.random.normal(jax.random.PRNGKey(8), (3, 3)))
+    pos_rot = jnp.matmul(pos, jnp.swapaxes(Rg, -1, -2)) + jnp.asarray(
+        [5.0, -3.0, 2.0]
+    )
+    rhat_rot = receptor_moment_frame(w, pos_rot, mask)
+    np.testing.assert_allclose(
+        np.asarray(rhat_rot),
+        np.asarray(jnp.matmul(rhat, jnp.swapaxes(Rg, -1, -2))),
+        atol=1e-4,
+    )
+
+
+def test_receptor_moment_frame_degenerate_grads_finite():
+    """Perfectly symmetric positions (all moments ~0): the soft
+    normalisation must keep gradients finite (the hard-GS variant NaN'd
+    within 500 training steps, measured)."""
+    from diffusion_extensions_tpu.models.protnet import receptor_moment_frame
+
+    pos = jnp.concatenate([jnp.eye(3), -jnp.eye(3)], axis=0)[None]  # (1,6,3)
+    mask = jnp.ones((1, 6), dtype=bool)
+
+    def f(w):
+        return jnp.sum(receptor_moment_frame(w, pos, mask) ** 2)
+
+    g = jax.grad(f)(jnp.full((1, 6, 2), 0.5))
+    assert np.isfinite(np.asarray(g)).all()

@@ -206,8 +206,28 @@ class ProtNet(nn.Module):
         l_pool = PoolRN(dim)(l_out, x.ligand_mask)
         l_pos = PoolPos()(l_out, x.ligand.positions, x.ligand_mask)
 
+        rhat = None
+        if self.equiv_head:
+            wg = nn.sigmoid(nn.Dense(2)(r_out))  # (B, L, 2) moment gates
+            rhat = receptor_moment_frame(
+                wg, x.receptor.positions, x.receptor_mask
+            )  # = C @ R_aug^T (see receptor_moment_frame docstring)
+
         pieces = [time_embed, r_pool, r_pos, l_pool, l_pos]
-        if self.frame_pool or self.rel_frame:
+        if rhat is not None:
+            # localized observables: rotate the pooled positions (relative
+            # to the receptor centroid) and pooled frames into the
+            # estimated frame — these are (approximately) invariant to the
+            # Haar augmentation, so the head MLP's feature -> out_local
+            # map is the same function the canonical-pose task needs
+            rmsk = x.receptor_mask[..., None].astype(jnp.float32)
+            cen = jnp.sum(x.receptor.positions * rmsk, axis=-2) / jnp.maximum(
+                jnp.sum(rmsk, axis=-2), 1.0
+            )
+            loc = lambda p: jnp.einsum("...ij,...j->...i", rhat, p - cen)
+            pieces.append(loc(r_pos))
+            pieces.append(loc(l_pos))
+        if self.frame_pool or self.rel_frame or rhat is not None:
             rf = PoolFrame()(r_out, x.receptor.angles, x.receptor_mask)
             lf = PoolFrame()(l_out, x.ligand.angles, x.ligand_mask)
             if self.frame_pool:
@@ -219,16 +239,24 @@ class ProtNet(nn.Module):
                 lm = lf.reshape(*lf.shape[:-1], h, 3, 3)
                 rel = jnp.einsum("...hij,...hkj->...hik", lm, rm)
                 pieces.append(rel.reshape(*rel.shape[:-3], h * 9))
+            if rhat is not None:
+                # pooled frames rotated into the estimated frame:
+                # lf @ rhat^T = C_l (R_a^T R_n^T R_a) C^T exposes the
+                # conjugated noise rotation as an invariant observable
+                h = rf.shape[-1] // 9
+                rm = rf.reshape(*rf.shape[:-1], h, 3, 3)
+                lm = lf.reshape(*lf.shape[:-1], h, 3, 3)
+                rt = jnp.swapaxes(rhat, -1, -2)[..., None, :, :]
+                lf_loc = jnp.matmul(lm, rt)
+                rf_loc = jnp.matmul(rm, rt)
+                pieces.append(lf_loc.reshape(*lf_loc.shape[:-3], h * 9))
+                pieces.append(rf_loc.reshape(*rf_loc.shape[:-3], h * 9))
         pool = jnp.concatenate(pieces, axis=-1)  # (B, 3*dim + 6 [+ 72])
         h = nn.silu(nn.Dense(dim)(pool))
         for _ in range(3):
             h = h + nn.silu(nn.Dense(dim)(h))
         out = nn.Dense(6)(h)
-        if self.equiv_head:
-            w = nn.sigmoid(nn.Dense(2)(r_out))  # (B, L, 2) moment gates
-            rhat = receptor_moment_frame(
-                w, x.receptor.positions, x.receptor_mask
-            )  # = C @ R_aug^T (see receptor_moment_frame docstring)
+        if rhat is not None:
             rot = jnp.einsum("...ji,...j->...i", rhat, out[..., :3])
             shf = jnp.einsum("...ji,...j->...i", rhat, out[..., 3:])
             out = jnp.concatenate([rot, shf], axis=-1)

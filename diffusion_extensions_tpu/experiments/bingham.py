@@ -190,10 +190,19 @@ def test(args):
                 denoise(p), k, (NET_SAMPLES,), num_steps=50)),
             ("ddim_20", lambda p, k: process.ddim_sample_loop(
                 denoise(p), k, (NET_SAMPLES,), num_steps=20)),
-            ("pf_heun_25", lambda p, k: process.pf_sample_loop(
-                denoise(p), k, (NET_SAMPLES,), num_steps=25, method="heun")),
-            ("pf_euler_50", lambda p, k: process.pf_sample_loop(
-                denoise(p), k, (NET_SAMPLES,), num_steps=50, method="euler")),
+            # both PF time grids: uniform fails the concentrated (s*)
+            # presets — the score ODE is stiff at low noise — while the
+            # EDM rho-spacing (pf_time_grid "karras", the default)
+            # concentrates evals there
+            ("pf_heun_25_uniform", lambda p, k: process.pf_sample_loop(
+                denoise(p), k, (NET_SAMPLES,), num_steps=25, method="heun",
+                grid="uniform")),
+            ("pf_heun_25_karras", lambda p, k: process.pf_sample_loop(
+                denoise(p), k, (NET_SAMPLES,), num_steps=25, method="heun",
+                grid="karras")),
+            ("pf_euler_50_karras", lambda p, k: process.pf_sample_loop(
+                denoise(p), k, (NET_SAMPLES,), num_steps=50, method="euler",
+                grid="karras")),
         ):
             rec = run_sampler(make_loop, tag)
             print(json.dumps(rec))

@@ -129,8 +129,10 @@ def test(args):
     best = jnp.minimum(d0, d1)
     pcts = (1, 5, 10, 50, 90, 95, 99)
     vals = np.percentile(np.asarray(best), pcts)
+    n_evals = (args.timesteps if args.sampler == "ancestral"
+               else args.sampler_steps)
     print(f"sampled {args.eval_batch} rotations in {dt:.2f}s "
-          f"({args.timesteps} reverse steps)")
+          f"({args.sampler}, {n_evals} model evals)")
     print("angle-to-nearest-mode percentiles (rad):")
     print("  " + "  ".join(f"{p}%: {v:.4f}" for p, v in zip(pcts, vals)))
     if args.plot:

@@ -27,6 +27,7 @@ from ..ops.igso3 import IGSO3Table
 from ..ops.se3 import AffineGrad, AffineT, se3_scale
 from ..ops.so3 import exp_skewvec, haar_rotations, log_rmat_vec, rmul, so3_scale
 from .schedule import Schedule, extract
+from .so3 import pf_time_grid
 
 __all__ = ["SE3Diffusion", "ProjectedSE3Diffusion"]
 
@@ -275,6 +276,7 @@ class SE3Diffusion:
         num_steps: int = 50,
         projection=None,
         method: str = "heun",
+        grid: str = "karras",
     ) -> AffineT:
         """Probability-flow (ODE) sampler on the product space — the SE(3)
         extension of ``SO3Diffusion.pf_sample_loop``.
@@ -301,8 +303,7 @@ class SE3Diffusion:
             jax.random.normal(k_shift, (b, 3)),
         )
 
-        T = self.num_timesteps
-        ts = jnp.linspace(T - 1, 0, num_steps + 1).round().astype(jnp.int32)
+        ts = pf_time_grid(self.schedule, num_steps, grid)
         s = self.schedule
 
         def clip_recon(x_recon: AffineT) -> AffineT:

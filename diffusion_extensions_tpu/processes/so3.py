@@ -37,7 +37,44 @@ from ..ops.so3 import (
 )
 from .schedule import Schedule, extract
 
-__all__ = ["SO3Diffusion", "ProjectedSO3Diffusion"]
+__all__ = ["SO3Diffusion", "ProjectedSO3Diffusion", "pf_time_grid"]
+
+
+def pf_time_grid(schedule: Schedule, num_steps: int, grid: str = "karras",
+                 rho: float = 7.0) -> jnp.ndarray:
+    """Timestep grid (num_steps+1 indices, descending to 0) for the
+    probability-flow samplers.
+
+    ``"uniform"``: evenly spaced timestep INDICES — adequate for broad
+    targets but demonstrably too coarse at low noise for concentrated
+    ones (the small-covariance Bingham presets and the near-delta toy
+    modes fail the acceptance A/B; results/bingham_sampler_ab_*.json).
+
+    ``"karras"`` (default): indices chosen so the noise levels
+    eps_t = sqrt(1-acp_t) follow the EDM rho-spacing
+    (sigma_max^(1/rho) -> sigma_min^(1/rho), rho = 7) — concentrating
+    model evals at low noise where the score ODE is stiff.  Built
+    host-side from the concrete schedule buffers (all production call
+    sites close over the process, so the buffers are trace-time
+    constants).
+    """
+    T = schedule.num_timesteps
+    if grid == "uniform":
+        return jnp.linspace(T - 1, 0, num_steps + 1).round().astype(jnp.int32)
+    if grid != "karras":
+        raise ValueError(f"Unexpected pf grid: {grid}")
+    eps = np.asarray(schedule.sqrt_one_minus_alphas_cumprod, dtype=np.float64)
+    smax, smin = float(eps[T - 1]), float(eps[0])
+    u = np.linspace(0.0, 1.0, num_steps + 1)
+    sig = (smax ** (1 / rho) + u * (smin ** (1 / rho) - smax ** (1 / rho))) ** rho
+    idx = np.clip(np.searchsorted(eps, sig), 0, T - 1)
+    # strictly decreasing where possible (duplicates would trigger the
+    # hold-at-clean-estimate branch mid-chain); clamp the tail at 0
+    for i in range(1, len(idx)):
+        idx[i] = min(idx[i], idx[i - 1] - 1)
+    idx = np.maximum(idx, 0)
+    idx[-1] = 0
+    return jnp.asarray(idx, dtype=jnp.int32)
 
 
 @struct.dataclass
@@ -250,6 +287,7 @@ class SO3Diffusion:
         projection=None,
         init=None,
         method: str = "heun",
+        grid: str = "karras",
     ):
         """Probability-flow (ODE) sampler driven by the ANALYTIC IGSO(3)
         score — the production consumer of ``igso3_score_vec`` / the fused
@@ -274,6 +312,7 @@ class SO3Diffusion:
 
         ``method``: "euler" (1 NFE/step) or "heun" (2 NFE/step,
         EDM-style predictor-corrector with denoiser re-evaluation).
+        ``grid``: timestep spacing — see ``pf_time_grid``.
         """
         if method not in ("euler", "heun"):
             raise ValueError(f"Unexpected pf method: {method}")
@@ -292,8 +331,7 @@ class SO3Diffusion:
                 init_key, jnp.zeros(shape, dtype=jnp.int32)
             )
 
-        T = self.num_timesteps
-        ts = jnp.linspace(T - 1, 0, num_steps + 1).round().astype(jnp.int32)
+        ts = pf_time_grid(self.schedule, num_steps, grid)
         s = self.schedule
 
         def eval_drift(x, t):

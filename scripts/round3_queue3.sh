@@ -36,6 +36,21 @@ run_once () {  # run_once <stall_s> <progress_file> cmd...
 
 bash "$RW"
 
+# 0) PF-sampler grid fix evidence (cheap, runs first): the uniform grid
+#    fails the concentrated Bingham presets; re-run the trained-model
+#    sampler A/B with both grids side by side, plus the toy PF re-run
+#    (karras is now the default grid)
+for cov in sur scr lcr lur; do
+  run_once 900 "results/bingham_${cov}_sampler_ab.log" \
+    bash -c "python -u -m diffusion_extensions_tpu.experiments.bingham $cov \
+      --test --sampler-ab --ckpt weights/bingham_${cov}_r3 \
+      2>&1 | tee results/bingham_${cov}_sampler_ab.log"
+done
+run_once 900 results/so3_toy_sampler_ab.log \
+  bash -c "python -u -m diffusion_extensions_tpu.experiments.so3_toy --test \
+    --sampler pf --sampler-steps 25 --ckpt weights/so3_toy_r3 \
+    2>&1 | tee -a results/so3_toy_sampler_ab.log"
+
 # 1) equiv-head arm: lr 1e-4 polish phase, 120k -> 240k
 run_training results/protein_se3_equiv_train.jsonl 8 \
   python -u -m diffusion_extensions_tpu.experiments.protein --se3 \

@@ -114,3 +114,27 @@ def test_se3_pf_invalid_method_raises():
     with pytest.raises(ValueError):
         proc.pf_sample_loop(lambda x, t: None, jax.random.PRNGKey(0), (4,),
                             method="rk4")
+
+
+def test_pf_time_grid_properties():
+    """karras grid: descending, in-range, ends at 0, concentrated at low
+    noise relative to uniform; uniform matches the legacy linspace."""
+    from diffusion_extensions_tpu.processes.schedule import Schedule
+    from diffusion_extensions_tpu.processes.so3 import pf_time_grid
+
+    sched = Schedule.create(1000)
+    for n in (10, 25, 50):
+        k = np.asarray(pf_time_grid(sched, n, "karras"))
+        assert k[0] == 999 and k[-1] == 0
+        assert (np.diff(k) <= 0).all()
+        assert (k >= 0).all() and (k <= 999).all()
+        u = np.asarray(pf_time_grid(sched, n, "uniform"))
+        legacy = np.asarray(
+            jnp.linspace(999, 0, n + 1).round().astype(jnp.int32))
+        assert (u == legacy).all()
+        # low-noise concentration: karras spends at least twice as many
+        # grid points in the bottom decile of timesteps as uniform does
+        assert (k < 100).sum() >= 2 * (u < 100).sum()
+
+    with pytest.raises(ValueError):
+        pf_time_grid(sched, 10, "cosine")

@@ -238,13 +238,21 @@ def test(args):
         proj = PointCloudProj(batch, so3=args.so3)
         if args.so3:
             return process.p_sample_loop(denoise, k, (batch.shape[0],), proj)
-        # reference euler init: euler decomposition of Haar-QR rotations
-        # (aircraft_test.py:80-83)
-        from ..ops.so3 import haar_rotations, rmat_to_euler
-
         k, k_init = jax.random.split(k)
-        r0 = haar_rotations(k_init, (batch.shape[0],))
-        x_init = jnp.stack(rmat_to_euler(r0), axis=-1)
+        if args.euler_init == "marginal":
+            # beyond-reference causal probe: init from the forward-process
+            # marginal q(x_{T-1}|x_0=0) = N(0, 1-acp_{T-1}) instead of the
+            # reference's Haar-euler decomposition, which places the chain
+            # far outside any state the denoiser saw in training
+            sig_T = process.schedule.sqrt_one_minus_alphas_cumprod[-1]
+            x_init = sig_T * jax.random.normal(k_init, (batch.shape[0], 3))
+        else:
+            # reference euler init: euler decomposition of Haar-QR
+            # rotations (aircraft_test.py:80-83)
+            from ..ops.so3 import haar_rotations, rmat_to_euler
+
+            r0 = haar_rotations(k_init, (batch.shape[0],))
+            x_init = jnp.stack(rmat_to_euler(r0), axis=-1)
         eul = process.p_sample_loop(
             denoise, k, (batch.shape[0], 3), projection=proj, x_init=x_init
         )
@@ -269,6 +277,8 @@ def test(args):
 
     res = np.concatenate(results)
     diff_type = "so3" if args.so3 else "eul"
+    if not args.so3 and args.euler_init != "haar":
+        diff_type = f"eul_{args.euler_init}"
     out_path = os.path.join(
         os.path.dirname(args.ckpt) or ".", f"results_aircraft_{diff_type}.npy"
     )
@@ -321,6 +331,11 @@ def parse_args(argv=None):
     p.add_argument("--debug-nans", dest="debug_nans", action="store_true",
                    help="enable jax_debug_nans (the torch anomaly-mode equivalent)")
     p.add_argument("--test", action="store_true")
+    p.add_argument("--euler-init", dest="euler_init",
+                   choices=("haar", "marginal"), default="haar",
+                   help="euler-arm chain init at eval: the reference's "
+                        "Haar-euler decomposition, or the forward-marginal "
+                        "Gaussian (beyond-ref causal probe)")
     p.add_argument("--max-shapes", dest="max_shapes", type=int, default=None)
     args = p.parse_args(argv)
     if args.ckpt is None:

@@ -190,13 +190,16 @@ def test(args):
                 denoise(p), k, (NET_SAMPLES,), num_steps=50)),
             ("ddim_20", lambda p, k: process.ddim_sample_loop(
                 denoise(p), k, (NET_SAMPLES,), num_steps=20)),
-            # both PF time grids: uniform fails the concentrated (s*)
-            # presets — the score ODE is stiff at low noise — while the
-            # EDM rho-spacing (pf_time_grid "karras", the default)
-            # concentrates evals there
-            ("pf_heun_25_uniform", lambda p, k: process.pf_sample_loop(
-                denoise(p), k, (NET_SAMPLES,), num_steps=25, method="heun",
-                grid="uniform")),
+            # pf "flow" = exact quantile-transport integration (the
+            # production default); euler/heun are the first-order
+            # score-ODE discretizations, kept in the A/B because they
+            # measurably FAIL the concentrated (s*) presets regardless of
+            # time grid — the saturating large-eps score under-transports
+            # (see SO3Diffusion.pf_sample_loop docstring)
+            ("pf_flow_50", lambda p, k: process.pf_sample_loop(
+                denoise(p), k, (NET_SAMPLES,), num_steps=50)),
+            ("pf_flow_10", lambda p, k: process.pf_sample_loop(
+                denoise(p), k, (NET_SAMPLES,), num_steps=10)),
             ("pf_heun_25_karras", lambda p, k: process.pf_sample_loop(
                 denoise(p), k, (NET_SAMPLES,), num_steps=25, method="heun",
                 grid="karras")),

@@ -114,7 +114,7 @@ def test(args):
             if args.sampler == "pf":
                 return process.pf_sample_loop(
                     denoise, k, (args.eval_batch,),
-                    num_steps=args.sampler_steps, method="heun")
+                    num_steps=args.sampler_steps, method="flow")
             return process.p_sample_loop(denoise, k, (args.eval_batch,))
 
         samples = jax.jit(make_loop)(

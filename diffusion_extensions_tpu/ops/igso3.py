@@ -466,14 +466,49 @@ class IGSO3Table:
         BENCHMARKS.md "IGSO(3) sampling".)
         """
         unif = jax.random.uniform(key, idx.shape, dtype=self.inv_cdf.dtype)
+        return self.quantile_angles(unif, idx)
+
+    def quantile_angles(self, u: jax.Array, idx: jax.Array) -> jax.Array:
+        """Deterministic inverse CDF: the angle whose IGSO3(eps[idx]) CDF
+        is ``u`` (the lookup ``sample_angles`` performs on uniform draws)."""
         q = self.inv_cdf.shape[-1]
-        pos = _quantile_pos(unif, q)
+        pos = _quantile_pos(jnp.clip(u, 0.0, 1.0 - 1e-7), q)
         k0 = jnp.floor(pos).astype(jnp.int32)
         k0 = jnp.minimum(k0, q - 2)
         frac = pos - k0
         a0 = self.inv_cdf[idx, k0]
         a1 = self.inv_cdf[idx, k0 + 1]
         return a0 + frac * (a1 - a0)
+
+    def cdf_angles(self, theta: jax.Array, idx: jax.Array) -> jax.Array:
+        """CDF_{eps[idx]}(theta): linear interpolation of the trapezoid CDF
+        row on the reference's cubic-packed angle grid (``cdf_locs``:
+        locs[i] = pi * (i/999)^3, so the fractional grid index of any angle
+        is closed-form — no searchsorted)."""
+        n = self.cdf.shape[-1]  # 999; trap_locs = locs[1:], CDF(locs[0]) = 0
+        pos = jnp.cbrt(jnp.clip(theta, 0.0, _PI) / _PI) * n  # in [0, n]
+        i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n - 1)
+        frac = pos - i0
+        c_lo = jnp.where(i0 == 0, 0.0, self.cdf[idx, jnp.maximum(i0 - 1, 0)])
+        c_hi = self.cdf[idx, i0]
+        return c_lo + frac * (c_hi - c_lo)
+
+    def transport_angles(
+        self, theta: jax.Array, idx_src: jax.Array, idx_dst: jax.Array
+    ) -> jax.Array:
+        """Exact radial probability-flow map IGSO3(eps[idx_src]) ->
+        IGSO3(eps[idx_dst]): quantile transport theta' = Q_dst(F_src(theta)).
+
+        For an isotropic family the probability-flow ODE
+        d(theta)/d(sigma) = -sigma * score(theta; sigma) has a radial
+        velocity field, and the unique radial transport preserving the
+        angle marginals is the CDF/quantile map — so this IS the exact
+        integral of the score ODE between the two noise levels, with no
+        discretization error (the closed form behind
+        ``SO3Diffusion.pf_sample_loop(method="flow")``).  In the Gaussian
+        (small-eps) limit it reduces to the DDIM rescale
+        theta' = theta * eps_dst / eps_src."""
+        return self.quantile_angles(self.cdf_angles(theta, idx_src), idx_dst)
 
     def sample_angles_exact(self, key: jax.Array, idx: jax.Array) -> jax.Array:
         """Reference-exact bracketing path (gathers full CDF rows); kept

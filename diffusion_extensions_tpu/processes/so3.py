@@ -45,18 +45,21 @@ def pf_time_grid(schedule: Schedule, num_steps: int, grid: str = "karras",
     """Timestep grid (num_steps+1 indices, descending to 0) for the
     probability-flow samplers.
 
-    ``"uniform"``: evenly spaced timestep INDICES — adequate for broad
-    targets but demonstrably too coarse at low noise for concentrated
-    ones (the small-covariance Bingham presets and the near-delta toy
-    modes fail the acceptance A/B; results/bingham_sampler_ab_*.json).
+    ``"uniform"``: evenly spaced timestep INDICES.
 
     ``"karras"`` (default): indices chosen so the noise levels
     eps_t = sqrt(1-acp_t) follow the EDM rho-spacing
     (sigma_max^(1/rho) -> sigma_min^(1/rho), rho = 7) — concentrating
-    model evals at low noise where the score ODE is stiff.  Built
-    host-side from the concrete schedule buffers (all production call
-    sites close over the process, so the buffers are trace-time
-    constants).
+    model evals (and anchor re-estimates) at low noise.  Built host-side
+    from the concrete schedule buffers (all production call sites close
+    over the process, so the buffers are trace-time constants).
+
+    Measured honestly: grid choice alone does NOT rescue the euler/heun
+    score-ODE discretizations on concentrated targets (both grids fail
+    the small-covariance Bingham A/B identically,
+    results/bingham_sampler_ab_*.json) — the fix is the exact "flow"
+    integrator (``IGSO3Table.transport_angles``), for which the grid only
+    sets where the denoiser is re-evaluated.
     """
     T = schedule.num_timesteps
     if grid == "uniform":
@@ -286,35 +289,53 @@ class SO3Diffusion:
         num_steps: int = 50,
         projection=None,
         init=None,
-        method: str = "heun",
+        method: str = "flow",
         grid: str = "karras",
     ):
-        """Probability-flow (ODE) sampler driven by the ANALYTIC IGSO(3)
-        score — the production consumer of ``igso3_score_vec`` / the fused
-        Pallas log-density+score kernel (the reference instead autodiffs
-        its ``log_prob`` for this quantity, ``distributions.py:190``).
+        """Probability-flow (ODE) sampler on SO(3) (the reference instead
+        autodiffs its ``log_prob`` for the score, ``distributions.py:190``).
 
         View the forward chain as x_t = M_t N_t with mean anchor
         M_t = so3_scale(x0, sqrt(acp_t)) and noise N_t ~ IGSO3(eps_t),
         eps_t = sqrt(1 - acp_t).  Conditioned on the model's x0-hat, the
-        relative rotation Rel = M_t^T x_t carries the conditional density
-        IGSO3(eps_t), whose right-tangent score at x_t is
-        ``igso3_score_vec(Rel, eps_t)`` (left-invariance).  The VE-form
-        probability-flow ODE in the noise coordinate is then
+        relative rotation Rel = M_t^T x_t carries the density IGSO3(eps_t)
+        and evolves by the VE-form probability-flow ODE in the noise
+        coordinate,
 
             dRel/d(sigma) = -sigma * score(Rel; sigma),
 
         integrated over the eps_t grid of the selected timesteps while the
         anchor follows the x0-hat prediction — the deterministic analogue
         of the ancestral chain with the *non-Gaussian* IGSO(3) geometry
-        entering through the score (unlike ``ddim_sample_loop``, which
-        holds the unit noise direction fixed and never needs the score).
+        entering through the heat-kernel score (unlike
+        ``ddim_sample_loop``, which holds the unit noise direction fixed
+        and rebuilds the residual from the prediction each step).
 
-        ``method``: "euler" (1 NFE/step) or "heun" (2 NFE/step,
-        EDM-style predictor-corrector with denoiser re-evaluation).
+        ``method``:
+
+        * "flow" (default, 1 NFE/step): EXACT integration.  The score
+          field is radial (isotropy), so the ODE's transport between two
+          noise levels is the CDF/quantile map of the angle marginal —
+          ``IGSO3Table.transport_angles`` — with zero discretization
+          error; the denoiser only re-anchors at each grid point.
+          Measured: passes the full Bingham acceptance matrix down to 10
+          model evals, including the concentrated presets where the
+          first-order discretizations diverge (BENCHMARKS.md "Chains").
+        * "euler" (1 NFE/step) / "heun" (2 NFE/step, EDM-style): explicit
+          discretizations of the same ODE using the pointwise analytic
+          score ``igso3_score_vec`` evaluated at the model's predicted
+          noise rotation.  KNOWN LIMITATION (measured, oracle-confirmed):
+          the score saturates near zero at large eps (the wrapped density
+          flattens), so for targets with continuous spread the residual
+          under-transports and the chain fails concentrated targets (MMD
+          0.25-0.55 vs the 0.034 acceptance on the s* Bingham presets,
+          for the exact posterior oracle as well as trained models) —
+          kept for A/B evidence and as pointwise-score consumers; use
+          "flow" in production.
+
         ``grid``: timestep spacing — see ``pf_time_grid``.
         """
-        if method not in ("euler", "heun"):
+        if method not in ("flow", "euler", "heun"):
             raise ValueError(f"Unexpected pf method: {method}")
         from ..ops.igso3 import igso3_score_vec
 
@@ -357,6 +378,30 @@ class SO3Diffusion:
             score = igso3_score_vec(n_hat, eps_t)
             return x_recon, rel, score, eps_t
 
+        def flow_step(x, i):
+            """Exact transport: re-anchor at the model's x0-hat, quantile-
+            map the actual residual angle eps_t -> eps_prev along its own
+            axis (``IGSO3Table.transport_angles``)."""
+            t = jnp.full((b,), ts[i], dtype=jnp.int32)
+            t_prev = jnp.full((b,), ts[i + 1], dtype=jnp.int32)
+            x_in = projection(x) if projection is not None else x
+            v = denoise_fn(x_in, t)
+            x_recon = self.predict_start_from_noise(x, t, v)
+            anchor = so3_scale(x_recon, extract(s.sqrt_alphas_cumprod, t))
+            vrel = log_rmat_vec(rmul(jnp.swapaxes(anchor, -1, -2), x))
+            theta = jnp.linalg.norm(vrel, axis=-1)
+            axis = vrel / jnp.maximum(theta, 1e-12)[..., None]
+            theta_p = self.q_table.transport_angles(theta, t, t_prev)
+            rel_p = exp_skewvec(axis * theta_p[..., None])
+            x_new = rmul(
+                so3_scale(x_recon, extract(s.sqrt_alphas_cumprod, t_prev)),
+                rel_p,
+            )
+            return (
+                jnp.where((t_prev == t)[..., None, None], x_recon, x_new),
+                None,
+            )
+
         def step(x, i):
             t = jnp.full((b,), ts[i], dtype=jnp.int32)
             t_prev = jnp.full((b,), ts[i + 1], dtype=jnp.int32)
@@ -380,6 +425,9 @@ class SO3Diffusion:
             # duplicated grid points (num_steps ~ T): hold the estimate
             x_new = jnp.where((t_prev == t)[..., None, None], x_recon, x_new)
             return x_new, None
+
+        if method == "flow":
+            step = flow_step
 
         x, _ = jax.lax.scan(step, x0, jnp.arange(num_steps))
         # final step: map to the clean x0 prediction

@@ -21,7 +21,7 @@ def _oracle(schedule):
     return oracle
 
 
-@pytest.mark.parametrize("method", ["euler", "heun"])
+@pytest.mark.parametrize("method", ["flow", "euler", "heun"])
 def test_pf_shapes_and_orthogonality(method):
     proc = SO3Diffusion.create(1000)
 
@@ -43,6 +43,8 @@ def test_pf_shapes_and_orthogonality(method):
     ("euler", 50, 0.15),
     ("heun", 25, 0.05),
     ("heun", 50, 0.05),
+    ("flow", 10, 0.05),
+    ("flow", 25, 0.05),
 ])
 def test_pf_oracle_converges_to_delta(method, steps, tol):
     """With the oracle denoiser for a delta at the identity, the PF chain
@@ -79,7 +81,7 @@ def test_pf_invalid_method_raises():
             jax.random.PRNGKey(0), (4,), method="rk4")
 
 
-@pytest.mark.parametrize("method", ["euler", "heun"])
+@pytest.mark.parametrize("method", ["flow", "euler", "heun"])
 def test_se3_pf_oracle_converges_to_delta(method):
     """SE(3) PF chain with the oracle denoiser for a delta at (I, 0):
     both blocks must contract (rotation via the analytic IGSO(3) score,
@@ -114,6 +116,87 @@ def test_se3_pf_invalid_method_raises():
     with pytest.raises(ValueError):
         proc.pf_sample_loop(lambda x, t: None, jax.random.PRNGKey(0), (4,),
                             method="rk4")
+
+
+def _bingham_mixture_oracle(schedule, modes):
+    """Exact posterior-mean denoiser for a dense delta-mixture target —
+    a CONTINUOUS-spread stand-in (Bingham "sur" samples as modes) that the
+    first-order score-ODE discretizations measurably fail: the IGSO(3)
+    score saturates near zero at large eps, so the euler/heun residual
+    under-transports (MMD 0.25-0.55 vs the 0.034 acceptance on the real
+    20k protocol, oracle and trained models alike)."""
+    from diffusion_extensions_tpu.ops.igso3 import igso3_log_density
+
+    def oracle(x, t):
+        eps = extract(schedule.sqrt_one_minus_alphas_cumprod, t, 1)
+        acp = extract(schedule.sqrt_alphas_cumprod, t)
+        anchors = so3_ops.so3_scale(modes[:, None], acp)
+        N = so3_ops.rmul(jnp.swapaxes(anchors, -1, -2), x)
+        v = so3_ops.log_rmat_vec(N) / eps
+        logw = igso3_log_density(so3_ops.rotation_angle(N), eps[..., 0])
+        w = jax.nn.softmax(logw, axis=0)[..., None]
+        return (w * v).sum(0)
+
+    return oracle
+
+
+def test_pf_flow_matches_continuous_concentrated_target():
+    """The exact quantile-transport integrator ("flow") reproduces a
+    continuous concentrated target with the exact posterior oracle —
+    the regression test for the failure mode that broke euler/heun on
+    the s* Bingham presets (the delta-oracle tests above cannot see it:
+    there the posterior never moves the anchor)."""
+    from diffusion_extensions_tpu.data.synthetic import bingham_dist
+    from diffusion_extensions_tpu.ops.metrics import (
+        gaussian_kernel_matrix, mmd,
+    )
+    from diffusion_extensions_tpu.ops.so3 import quat_to_rmat
+
+    proc = SO3Diffusion.create(1000)
+    dist = bingham_dist("sur")
+    modes = quat_to_rmat(dist.sample(jax.random.PRNGKey(42), (64,)))
+    oracle = _bingham_mixture_oracle(proc.schedule, modes)
+
+    B = 512
+    out = jax.jit(
+        lambda k: proc.pf_sample_loop(oracle, k, (B,), num_steps=25,
+                                      method="flow")
+    )(jax.random.PRNGKey(0))
+    ref = quat_to_rmat(dist.sample(jax.random.PRNGKey(7), (B,)))
+    val = float(mmd(ref, out, gaussian_kernel_matrix))
+    assert val < 0.05, val
+    # and the angle spread matches the target's, not the under-transported
+    # euler/heun one (which sits ~10x above the target median)
+    p50 = float(np.median(np.asarray(so3_ops.rotation_angle(out))))
+    tgt = float(np.median(np.asarray(so3_ops.rotation_angle(modes))))
+    assert 0.5 * tgt < p50 < 2.5 * tgt, (p50, tgt)
+
+
+def test_igso3_transport_angles_properties():
+    """Quantile transport: identity at equal noise levels, monotone in
+    theta, and equal to the DDIM linear rescale in the Gaussian
+    (small-eps) limit."""
+    from diffusion_extensions_tpu.ops.igso3 import IGSO3Table
+
+    tab = IGSO3Table.from_eps(np.array([0.02, 0.05, 0.3, 0.8], np.float32))
+    theta = jnp.asarray(np.linspace(0.01, 0.5, 40, dtype=np.float32))
+    i2 = jnp.full(theta.shape, 2, jnp.int32)
+    # same-level transport == identity (within table resolution)
+    same = tab.transport_angles(theta, i2, i2)
+    np.testing.assert_allclose(np.asarray(same), np.asarray(theta),
+                               atol=2e-3, rtol=1e-2)
+    # monotone in theta
+    down = np.asarray(tab.transport_angles(theta, i2,
+                                           jnp.full(theta.shape, 1,
+                                                    jnp.int32)))
+    assert (np.diff(down) > -1e-6).all()
+    # Gaussian limit: eps 0.05 -> 0.02 is the linear rescale theta*0.4
+    small = jnp.asarray(np.linspace(0.005, 0.15, 30, dtype=np.float32))
+    i1 = jnp.full(small.shape, 1, jnp.int32)
+    i0 = jnp.full(small.shape, 0, jnp.int32)
+    got = np.asarray(tab.transport_angles(small, i1, i0))
+    np.testing.assert_allclose(got, np.asarray(small) * (0.02 / 0.05),
+                               rtol=0.05, atol=1e-3)
 
 
 def test_pf_time_grid_properties():

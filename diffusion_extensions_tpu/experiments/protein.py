@@ -253,6 +253,14 @@ def test(args):
         denoise = lambda x, t: model.apply(params, x, t)
         proj = ProtProjection(batch, se3=args.se3)
         if args.se3:
+            if args.sampler == "ddim":
+                return process.ddim_sample_loop(
+                    denoise, k, (args.batch,), num_steps=args.sampler_steps,
+                    projection=proj)
+            if args.sampler == "pf":
+                return process.pf_sample_loop(
+                    denoise, k, (args.batch,), num_steps=args.sampler_steps,
+                    projection=proj, method="flow")
             return process.p_sample_loop(denoise, k, (args.batch,), proj)
         out = process.p_sample_loop(
             denoise, k, (args.batch, 6), projection=proj
@@ -292,6 +300,8 @@ def test(args):
     angles = np.concatenate(angles)
     shifts = np.concatenate(shifts)
     diff_type = "se3" if args.se3 else "eul"
+    if args.se3 and args.sampler != "ancestral":
+        diff_type += f"_{args.sampler}{args.sampler_steps}"
     pcts = (1, 5, 10, 50, 90, 95, 99)
     a_sorted, s_sorted = np.sort(angles), np.sort(shifts)
     idxs = [int(len(a_sorted) * p / 100) for p in pcts]
@@ -305,6 +315,8 @@ def test(args):
     # diffusion type): every arm in the results matrix gets a distinct
     # file, so arm labels never depend on manual renames between runs
     arm = os.path.basename(os.path.normpath(args.ckpt)) or diff_type
+    if args.se3 and args.sampler != "ancestral":
+        arm += f"_{args.sampler}{args.sampler_steps}"
     os.makedirs("results", exist_ok=True)
     with open(f"results/prot_samples_{arm}.json", "w") as f:
         json.dump({"angles": angles.tolist(), "shifts": shifts.tolist()}, f)
@@ -363,6 +375,14 @@ def parse_args(argv=None):
     p.add_argument("--debug-nans", dest="debug_nans", action="store_true",
                    help="enable jax_debug_nans (the torch anomaly-mode equivalent)")
     p.add_argument("--test", action="store_true")
+    p.add_argument("--sampler", choices=("ancestral", "ddim", "pf"),
+                   default="ancestral",
+                   help="SE(3) eval sampler: the reference's 1000-step "
+                        "ancestral chain, or the beyond-reference "
+                        "DDIM / probability-flow (exact quantile "
+                        "transport) chains")
+    p.add_argument("--sampler-steps", dest="sampler_steps", type=int,
+                   default=50, help="model evals for --sampler ddim/pf")
     args = p.parse_args(argv)
     if args.ckpt is None:
         args.ckpt = f"weights/protein_{'se3' if args.se3 else 'eul'}"

@@ -18,8 +18,9 @@ Prints ONE JSON line:
   mmd_eval_20k              MMD(20k, 20k) with the rotation gaussian
                             kernel — the Bingham acceptance-protocol eval
                             (``bingham_test.py:7-29``)
-  sampler_1000 / ddim_50    full 1000-step ancestral reverse chain vs the
-                            beyond-reference DDIM-50, 512 chains
+  sampler_1000 / ddim_50 /  full 1000-step ancestral reverse chain vs the
+  pf_flow_50                beyond-reference DDIM-50 and exact-transport
+                            PF-50 chains, 512 chains each
                             (``diffusion.py:328-337`` cost envelope)
 
 Baseline note: the reference publishes no numbers (README is one line).
@@ -281,10 +282,13 @@ def bench_samplers(quick):
         lambda x, t: denoise(p, x, t), k, (n,)))
     ddim = jax.jit(lambda p, k: process.ddim_sample_loop(
         lambda x, t: denoise(p, x, t), k, (n,), num_steps=50))
+    flow = jax.jit(lambda p, k: process.pf_sample_loop(
+        lambda x, t: denoise(p, x, t), k, (n,), num_steps=50))
     reps = 2 if quick else 4
     dt_anc = _time_calls(anc, lambda: (params, jax.random.PRNGKey(3)), reps, 1)
     dt_ddim = _time_calls(ddim, lambda: (params, jax.random.PRNGKey(4)), reps, 1)
-    return n, dt_anc / reps, dt_ddim / reps
+    dt_flow = _time_calls(flow, lambda: (params, jax.random.PRNGKey(5)), reps, 1)
+    return n, dt_anc / reps, dt_ddim / reps, dt_flow / reps
 
 
 def main(argv=None):
@@ -325,9 +329,10 @@ def main(argv=None):
         }
         n_mmd, mmd_s = bench_mmd(args.quick)
         rows["mmd_eval"] = {"n_samples": n_mmd, "seconds": round(mmd_s, 3)}
-        n_s, anc_s, ddim_s = bench_samplers(args.quick)
+        n_s, anc_s, ddim_s, flow_s = bench_samplers(args.quick)
         rows["sampler_1000"] = {"chains": n_s, "seconds": round(anc_s, 3)}
         rows["ddim_50"] = {"chains": n_s, "seconds": round(ddim_s, 3)}
+        rows["pf_flow_50"] = {"chains": n_s, "seconds": round(flow_s, 3)}
 
     result = {
         "metric": "aircraft_rotate train steps/sec/chip "

@@ -93,14 +93,15 @@ def train(args):
 
     loss_fn = make_loss_fn(model, process, truepos, args.so3)
     K = max(args.steps_per_call, 1)
-    if args.tp > 1:
-        # dp x tp GSPMD step: global-batch program, kernels sharded on "tp"
+    if args.tp > 1 or args.fsdp:
+        # dp x tp GSPMD step: global-batch program, kernels sharded on "tp";
+        # --fsdp additionally shards params + Adam moments over "dp" at rest
         from ..parallel.gspmd import make_gspmd_train_step
 
         mesh = make_mesh([("dp", -1), ("tp", args.tp)])
-        step_fn = make_gspmd_train_step(loss_fn, tx, mesh)
+        step_fn = make_gspmd_train_step(loss_fn, tx, mesh, fsdp=args.fsdp)
         if K != 1:
-            print("--tp uses steps_per_call=1")
+            print("--tp/--fsdp uses steps_per_call=1")
             K = 1
     else:
         mesh = make_mesh()
@@ -314,6 +315,9 @@ def parse_args(argv=None):
                    default=1, help="fuse K optimizer steps per dispatch")
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel mesh size (dp x tp GSPMD step)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="ZeRO-3 layout: shard params + optimizer moments "
+                        "over the dp axis at rest (GSPMD step)")
     p.add_argument("--log-norms", dest="log_norms", action="store_true",
                    help="log grad/param global norms (wandb.watch equivalent)")
     p.add_argument("--timesteps", type=int, default=1000)

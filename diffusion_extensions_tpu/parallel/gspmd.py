@@ -1,5 +1,5 @@
-"""GSPMD dp x tp training step: one global-batch program + sharding
-constraints; XLA inserts the collectives.
+"""GSPMD dp x tp (+ fsdp) training step: one global-batch program +
+sharding constraints; XLA inserts the collectives.
 
 Complementary to ``parallel.dp.make_dp_train_step`` (explicit shard_map +
 psum): here the training step is written over the *logical global batch*,
@@ -14,6 +14,12 @@ same step on dp=8/tp=1, dp=4/tp=2 or one device produces identical results
 up to float reduction order (asserted by ``tests/test_tp.py``) — the
 correctness contract that lets a run move between mesh shapes.
 
+``fsdp=True`` additionally shards the master params and Adam moments over
+the dp axis at rest (ZeRO-3): each kernel is all-gathered just-in-time for
+its matmuls and its gradient reduce-scattered back to the owning shard —
+again purely from sharding constraints, with identical numerics to the
+replicated layout (same global program).
+
 The reference has no distributed support of any kind (SURVEY §2.7); this
 module is TPU-native scale-out for its workloads.
 """
@@ -27,7 +33,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..train.state import TrainState
 
-__all__ = ["make_gspmd_train_step", "tp_kernel_spec"]
+__all__ = ["make_gspmd_train_step", "tp_kernel_spec", "param_spec"]
 
 
 def tp_kernel_spec(x, tp_size: int, tp_axis: str = "tp", min_dim: int = 64):
@@ -48,6 +54,48 @@ def tp_kernel_spec(x, tp_size: int, tp_axis: str = "tp", min_dim: int = 64):
     return P()
 
 
+def param_spec(
+    x,
+    tp_size: int,
+    dp_size: int = 1,
+    tp_axis: str = "tp",
+    dp_axis: str = "dp",
+    min_dim: int = 64,
+    fsdp: bool = False,
+):
+    """Combined tp + (optional) fsdp PartitionSpec for one param leaf.
+
+    tp: matmul kernels column-sharded on their output dim (``tp_kernel_spec``
+    rules).  fsdp (ZeRO-3 style): additionally shard the *largest remaining*
+    divisible dim over the dp axis, so the master params and the Adam
+    moments live dp-sharded at rest (1/dp memory per device) and GSPMD
+    all-gathers each kernel just-in-time for its matmul and reduce-scatters
+    its gradient — the "How to Scale Your Model" fsdp recipe, with XLA
+    inserting the collectives from the sharding constraints alone.
+
+    The spec is a pure function of the leaf's SHAPE, so the same function
+    lays out params, gradients, and the param-shaped Adam moments
+    identically (scalars like Adam's ``count`` fall through to ``P()``).
+    """
+    base = tp_kernel_spec(x, tp_size, tp_axis, min_dim)
+    if not fsdp or dp_size <= 1 or getattr(x, "ndim", 0) < 1:
+        return base
+    assign = list(base) + [None] * (x.ndim - len(base))
+    # largest dim not already tp-sharded, divisible by dp, and big enough
+    # that sharding it is worth a collective
+    candidates = [
+        (x.shape[d], d)
+        for d in range(x.ndim)
+        if assign[d] is None and x.shape[d] % dp_size == 0
+        and x.shape[d] >= min_dim
+    ]
+    if not candidates:
+        return base
+    _, d = max(candidates)
+    assign[d] = dp_axis
+    return P(*assign)
+
+
 def make_gspmd_train_step(
     loss_fn: Callable,
     tx,
@@ -56,6 +104,7 @@ def make_gspmd_train_step(
     tp_axis: str = "tp",
     donate: bool = True,
     min_tp_dim: int = 64,
+    fsdp: bool = False,
 ):
     """Build a jitted dp x tp train step.
 
@@ -69,15 +118,16 @@ def make_gspmd_train_step(
     """
     axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
     tp = int(axis_sizes.get(tp_axis, 1))
+    dp = int(axis_sizes.get(dp_axis, 1))
 
     def _constrain(x, spec):
         return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
+    def _spec(x):
+        return param_spec(x, tp, dp, tp_axis, dp_axis, min_tp_dim, fsdp)
+
     def constrain_params(params):
-        return jax.tree_util.tree_map(
-            lambda x: _constrain(x, tp_kernel_spec(x, tp, tp_axis, min_tp_dim)),
-            params,
-        )
+        return jax.tree_util.tree_map(lambda x: _constrain(x, _spec(x)), params)
 
     def constrain_batch(batch):
         return jax.tree_util.tree_map(
@@ -93,6 +143,12 @@ def make_gspmd_train_step(
         loss, grads = jax.value_and_grad(loss_fn)(params, step_key, batch)
         grads = constrain_params(grads)  # keep grads on the param layout
         updates, new_opt_state = tx.update(grads, state.opt_state, params)
+        if fsdp:
+            # pin the param-shaped Adam moments to the fsdp layout so the
+            # optimizer state never materialises replicated
+            new_opt_state = jax.tree_util.tree_map(
+                lambda x: _constrain(x, _spec(x)), new_opt_state
+            )
         new_params = constrain_params(optax.apply_updates(params, updates))
         new_state = TrainState(
             step=state.step + 1,
@@ -105,14 +161,25 @@ def make_gspmd_train_step(
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def shard_params(params, mesh: Mesh, tp_axis: str = "tp", min_dim: int = 64):
-    """Pre-place a param tree on the mesh with the tp kernel layout (the
-    steady-state layout ``make_gspmd_train_step`` maintains)."""
+def shard_params(
+    params,
+    mesh: Mesh,
+    tp_axis: str = "tp",
+    min_dim: int = 64,
+    dp_axis: str = "dp",
+    fsdp: bool = False,
+):
+    """Pre-place a param tree on the mesh with the tp (+fsdp) kernel layout
+    (the steady-state layout ``make_gspmd_train_step`` maintains)."""
     axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
     tp = int(axis_sizes.get(tp_axis, 1))
+    dp = int(axis_sizes.get(dp_axis, 1))
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(
-            x, NamedSharding(mesh, tp_kernel_spec(x, tp, tp_axis, min_dim))
+            x,
+            NamedSharding(
+                mesh, param_spec(x, tp, dp, tp_axis, dp_axis, min_dim, fsdp)
+            ),
         ),
         params,
     )

@@ -13,6 +13,7 @@ from diffusion_extensions_tpu.experiments.aircraft import make_loss_fn
 from diffusion_extensions_tpu.models.planenet import PlaneNet
 from diffusion_extensions_tpu.parallel.gspmd import (
     make_gspmd_train_step,
+    param_spec,
     shard_params,
     tp_kernel_spec,
 )
@@ -47,11 +48,11 @@ def setup():
     return params, tx, loss_fn, data, key
 
 
-def _run_two_steps(mesh_axes, setup, devices):
+def _run_two_steps(mesh_axes, setup, devices, fsdp=False):
     params, tx, loss_fn, data, key = setup
     mesh = make_mesh(mesh_axes, devices=devices)
     state = TrainState.create(params, tx, key)
-    step = make_gspmd_train_step(loss_fn, tx, mesh, donate=False)
+    step = make_gspmd_train_step(loss_fn, tx, mesh, donate=False, fsdp=fsdp)
     losses = []
     for _ in range(2):
         state, metrics = step(state, data)
@@ -88,6 +89,62 @@ def test_gspmd_params_actually_tp_sharded(setup, devices):
     ]
     tp_sharded = [s for _, s in specs if s and "tp" in str(s)]
     assert tp_sharded, f"no tp-sharded kernels in {specs[:5]}..."
+
+
+def test_gspmd_fsdp_numerics_match_dp_only(setup, devices):
+    """fsdp is a LAYOUT, not a different program: the fsdp step on dp=8 and
+    on dp=4/tp=2 must reproduce the replicated-layout losses/params."""
+    losses_ref, state_ref = _run_two_steps([("dp", 8), ("tp", 1)], setup, devices)
+    for axes in ([("dp", 8), ("tp", 1)], [("dp", 4), ("tp", 2)]):
+        losses, state = _run_two_steps(axes, setup, devices, fsdp=True)
+        np.testing.assert_allclose(losses, losses_ref, rtol=2e-5)
+        a = jax.tree_util.tree_leaves(state.params)
+        b = jax.tree_util.tree_leaves(state_ref.params)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=1e-5, atol=1e-7
+            )
+
+
+def test_gspmd_fsdp_params_and_moments_sharded(setup, devices):
+    """At rest, params AND param-shaped optimizer moments live dp-sharded."""
+    params, tx, loss_fn, data, key = setup
+    mesh = make_mesh([("dp", 4), ("tp", 2)], devices=devices)
+    state = TrainState.create(shard_params(params, mesh, fsdp=True), tx, key)
+    step = make_gspmd_train_step(loss_fn, tx, mesh, donate=False, fsdp=True)
+    state, _ = step(state, data)
+    p_dp = [
+        x for x in jax.tree_util.tree_leaves(state.params)
+        if "dp" in str(getattr(x, "sharding", ""))
+    ]
+    assert p_dp, "no fsdp-sharded params"
+    # optax.sgd has no moments; check with adam separately
+    tx2 = __import__("optax").adam(1e-3)
+    state2 = TrainState.create(shard_params(params, mesh, fsdp=True), tx2, key)
+    step2 = make_gspmd_train_step(loss_fn, tx2, mesh, donate=False, fsdp=True)
+    state2, _ = step2(state2, data)
+    o_dp = [
+        x for x in jax.tree_util.tree_leaves(state2.opt_state)
+        if "dp" in str(getattr(x, "sharding", ""))
+    ]
+    assert o_dp, "Adam moments not fsdp-sharded"
+
+
+def test_param_spec_rules():
+    from jax.sharding import PartitionSpec as P
+
+    k = jnp.zeros((128, 256))
+    # tp on the output dim, fsdp takes the largest remaining dim (dim 0)
+    assert param_spec(k, 2, 4, fsdp=True) == P("dp", "tp")
+    # no tp axis: fsdp shards the largest dim (dim 1)
+    assert param_spec(k, 1, 4, fsdp=True) == P(None, "dp")
+    # bias: fsdp shards it when divisible and large enough
+    assert param_spec(jnp.zeros((128,)), 2, 4, fsdp=True) == P("dp")
+    assert param_spec(jnp.zeros((30,)), 2, 4, fsdp=True) == P()
+    # not divisible by dp -> falls back to tp-only
+    assert param_spec(jnp.zeros((129, 256)), 2, 4, fsdp=True) == P(None, "tp")
+    # fsdp off -> identical to tp_kernel_spec
+    assert param_spec(k, 2, 4, fsdp=False) == tp_kernel_spec(k, 2)
 
 
 def test_tp_kernel_spec_rules():

@@ -93,15 +93,16 @@ def train(args):
 
     loss_fn = make_loss_fn(model, process, truepos, args.so3)
     K = max(args.steps_per_call, 1)
-    if args.tp > 1 or args.fsdp:
-        # dp x tp GSPMD step: global-batch program, kernels sharded on "tp";
-        # --fsdp additionally shards params + Adam moments over "dp" at rest
+    if args.tp > 1 or args.sp > 1 or args.fsdp:
+        # dp x sp x tp GSPMD step: global-batch program, kernels sharded on
+        # "tp", the points axis on "sp"; --fsdp additionally shards params +
+        # Adam moments over "dp" at rest
         from ..parallel.gspmd import make_gspmd_train_step
 
-        mesh = make_mesh([("dp", -1), ("tp", args.tp)])
+        mesh = make_mesh([("dp", -1), ("sp", args.sp), ("tp", args.tp)])
         step_fn = make_gspmd_train_step(loss_fn, tx, mesh, fsdp=args.fsdp)
         if K != 1:
-            print("--tp/--fsdp uses steps_per_call=1")
+            print("--tp/--sp/--fsdp uses steps_per_call=1")
             K = 1
     else:
         mesh = make_mesh()
@@ -318,6 +319,9 @@ def parse_args(argv=None):
     p.add_argument("--fsdp", action="store_true",
                    help="ZeRO-3 layout: shard params + optimizer moments "
                         "over the dp axis at rest (GSPMD step)")
+    p.add_argument("--sp", type=int, default=1,
+                   help="sequence-parallel mesh size: shard the points axis "
+                        "over 'sp' (GSPMD step)")
     p.add_argument("--log-norms", dest="log_norms", action="store_true",
                    help="log grad/param global norms (wandb.watch equivalent)")
     p.add_argument("--timesteps", type=int, default=1000)

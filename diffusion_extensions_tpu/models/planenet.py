@@ -13,9 +13,15 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import PoolRN, Siren, SinusoidalPosEmb, TransformerEncoder
+from .layers import (
+    PoolRN,
+    Siren,
+    SinusoidalPosEmb,
+    TransformerEncoder,
+    TransformerEncoderLayer,
+)
 
-__all__ = ["PlaneNet"]
+__all__ = ["PlaneNet", "planenet_pp_params", "planenet_pp_apply"]
 
 
 class PlaneNet(nn.Module):
@@ -45,3 +51,67 @@ class PlaneNet(nn.Module):
         h = h.astype(jnp.float32)
         pooled = PoolRN(self.dim)(h)  # (B, dim)
         return nn.Dense(3)(pooled)
+
+
+def planenet_pp_params(params, mesh, pp_axis: str = "pp"):
+    """Re-lay a trained PlaneNet param tree for pipeline parallelism: the
+    encoder layers are stacked on a leading layer dim and sharded over the
+    pp axis (each stage holds L/P layers at rest); embed/head stay as-is
+    (replicated).  Inverse-free: ``planenet_pp_apply`` consumes this layout
+    directly.
+    """
+    from ..parallel.pp import shard_stacked_params, stack_layer_params
+
+    p = params["params"]
+    enc = p["TransformerEncoder_0"]
+    n_layers = len(enc)
+    stacked = stack_layer_params(
+        [enc[f"TransformerEncoderLayer_{i}"] for i in range(n_layers)]
+    )
+    return {
+        "embed": {"Siren_0": p["Siren_0"]},
+        "layers": shard_stacked_params(stacked, mesh, pp_axis),
+        "head": {"PoolRN_0": p["PoolRN_0"], "Dense_0": p["Dense_0"]},
+    }
+
+
+def planenet_pp_apply(
+    model: PlaneNet,
+    pp_params,
+    x: jax.Array,
+    t: jax.Array,
+    mesh,
+    n_microbatches: int,
+    pp_axis: str = "pp",
+):
+    """PlaneNet forward with the encoder stack run through the GPipe
+    microbatch pipeline (``parallel.pp``): embed and head run replicated
+    (they are a few percent of the FLOPs); the L identical encoder layers
+    — where the model's depth lives — run split over P pipeline stages.
+    Numerically identical to ``model.apply`` (asserted by
+    ``tests/test_pp.py``).
+    """
+    from ..parallel.pp import pipeline_apply
+
+    dtype = jnp.bfloat16 if model.bf16 else jnp.float32
+    emb = Siren(model.dim // 2, scale=30)
+    x_emb = emb.apply({"params": pp_params["embed"]["Siren_0"]}, x)
+    t_emb = SinusoidalPosEmb(model.dim // 2).apply({}, t)
+    t_tok = jnp.broadcast_to(t_emb[:, None, :], x_emb.shape)
+    h = jnp.concatenate((x_emb, t_tok), axis=-1)
+
+    template = TransformerEncoderLayer(
+        model.dim, model.heads, 2048, model.dropout, dtype=dtype
+    )
+
+    def layer_fn(p_l, h):
+        return template.apply({"params": p_l}, h)
+
+    h = pipeline_apply(
+        layer_fn, pp_params["layers"], h, mesh, n_microbatches, pp_axis
+    )
+    h = h.astype(jnp.float32)
+    pooled = PoolRN(model.dim).apply(
+        {"params": pp_params["head"]["PoolRN_0"]}, h
+    )
+    return nn.Dense(3).apply({"params": pp_params["head"]["Dense_0"]}, pooled)

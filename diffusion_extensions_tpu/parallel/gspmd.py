@@ -20,6 +20,13 @@ its matmuls and its gradient reduce-scattered back to the owning shard —
 again purely from sharding constraints, with identical numerics to the
 replicated layout (same global program).
 
+A mesh with an ``"sp"`` axis additionally shards the *sequence* (points /
+residues) dim of every batch leaf over it — sequence parallelism for the
+point-cloud transformers, where N (not B) is the long axis.  The encoder's
+attention then runs with queries sequence-sharded; GSPMD all-gathers K/V
+over sp for the score matmul.  Again a pure layout choice: same global
+program, mesh-shape-invariant numerics (asserted by ``tests/test_tp.py``).
+
 The reference has no distributed support of any kind (SURVEY §2.7); this
 module is TPU-native scale-out for its workloads.
 """
@@ -33,7 +40,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..train.state import TrainState
 
-__all__ = ["make_gspmd_train_step", "tp_kernel_spec", "param_spec"]
+__all__ = ["make_gspmd_train_step", "tp_kernel_spec", "param_spec", "batch_spec"]
 
 
 def tp_kernel_spec(x, tp_size: int, tp_axis: str = "tp", min_dim: int = 64):
@@ -96,12 +103,33 @@ def param_spec(
     return P(*assign)
 
 
+def batch_spec(x, dp_axis: str = "dp", sp_size: int = 1, sp_axis: str = "sp"):
+    """PartitionSpec for one batch leaf: batch dim on dp; with an sp axis in
+    the mesh, the sequence dim (axis 1: points / residues) is additionally
+    sharded over sp when divisible.  Leaves whose axis 1 doesn't divide
+    (e.g. per-sample scalars, odd-length masks) stay dp-only — mixing
+    layouts is fine, GSPMD reconciles at use sites.
+    """
+    ndim = getattr(x, "ndim", 0)
+    if ndim == 0:
+        return P()
+    if (
+        sp_size > 1
+        and ndim >= 2
+        and x.shape[1] % sp_size == 0
+        and x.shape[1] >= sp_size
+    ):
+        return P(dp_axis, sp_axis, *([None] * (ndim - 2)))
+    return P(dp_axis, *([None] * (ndim - 1)))
+
+
 def make_gspmd_train_step(
     loss_fn: Callable,
     tx,
     mesh: Mesh,
     dp_axis: str = "dp",
     tp_axis: str = "tp",
+    sp_axis: str = "sp",
     donate: bool = True,
     min_tp_dim: int = 64,
     fsdp: bool = False,
@@ -119,6 +147,7 @@ def make_gspmd_train_step(
     axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
     tp = int(axis_sizes.get(tp_axis, 1))
     dp = int(axis_sizes.get(dp_axis, 1))
+    sp = int(axis_sizes.get(sp_axis, 1))
 
     def _constrain(x, spec):
         return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
@@ -131,7 +160,7 @@ def make_gspmd_train_step(
 
     def constrain_batch(batch):
         return jax.tree_util.tree_map(
-            lambda x: _constrain(x, P(dp_axis, *([None] * (x.ndim - 1)))),
+            lambda x: _constrain(x, batch_spec(x, dp_axis, sp, sp_axis)),
             batch,
         )
 

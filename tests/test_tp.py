@@ -12,6 +12,7 @@ import pytest
 from diffusion_extensions_tpu.experiments.aircraft import make_loss_fn
 from diffusion_extensions_tpu.models.planenet import PlaneNet
 from diffusion_extensions_tpu.parallel.gspmd import (
+    batch_spec,
     make_gspmd_train_step,
     param_spec,
     shard_params,
@@ -128,6 +129,38 @@ def test_gspmd_fsdp_params_and_moments_sharded(setup, devices):
         if "dp" in str(getattr(x, "sharding", ""))
     ]
     assert o_dp, "Adam moments not fsdp-sharded"
+
+
+def test_gspmd_sp_numerics_match_dp_only(setup, devices):
+    """Sequence parallelism is a LAYOUT: sharding the points axis over sp
+    must reproduce the dp-only losses/params (same global program)."""
+    losses_ref, state_ref = _run_two_steps([("dp", 8), ("tp", 1)], setup, devices)
+    for axes in (
+        [("dp", 4), ("sp", 2)],
+        [("dp", 2), ("sp", 2), ("tp", 2)],
+    ):
+        losses, state = _run_two_steps(axes, setup, devices)
+        np.testing.assert_allclose(losses, losses_ref, rtol=2e-5)
+        a = jax.tree_util.tree_leaves(state.params)
+        b = jax.tree_util.tree_leaves(state_ref.params)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=1e-5, atol=1e-7
+            )
+
+
+def test_batch_spec_rules():
+    from jax.sharding import PartitionSpec as P
+
+    x = jnp.zeros((8, 32, 3))
+    assert batch_spec(x, sp_size=2) == P("dp", "sp", None)
+    assert batch_spec(x, sp_size=1) == P("dp", None, None)
+    # sequence dim not divisible by sp -> dp-only
+    assert batch_spec(jnp.zeros((8, 33, 3)), sp_size=2) == P("dp", None, None)
+    # per-sample vector: no sequence dim semantics change, axis 1 divisible
+    assert batch_spec(jnp.zeros((8, 4)), sp_size=2) == P("dp", "sp")
+    assert batch_spec(jnp.zeros((8,)), sp_size=2) == P("dp")
+    assert batch_spec(jnp.zeros(()), sp_size=2) == P()
 
 
 def test_param_spec_rules():

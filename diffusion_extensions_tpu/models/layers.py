@@ -212,6 +212,7 @@ class TransformerEncoderLayer(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     fused_qkv: bool = False
+    moe_experts: int = 0  # >0: Switch MoE FFN with this many experts
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True):
@@ -230,10 +231,20 @@ class TransformerEncoderLayer(nn.Module):
         if self.dropout > 0.0:
             attn = nn.Dropout(self.dropout, deterministic=deterministic)(attn)
         x = nn.LayerNorm(epsilon=1e-5)(x + attn)
-        h = nn.relu(nn.Dense(self.dim_feedforward, dtype=self.dtype)(x))
-        if self.dropout > 0.0:
-            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = nn.Dense(self.dim, dtype=self.dtype)(h)
+        if self.moe_experts > 0:
+            from .moe import MoEFFN
+
+            h = MoEFFN(
+                self.dim,
+                self.moe_experts,
+                self.dim_feedforward,
+                dtype=self.dtype,
+            )(x)
+        else:
+            h = nn.relu(nn.Dense(self.dim_feedforward, dtype=self.dtype)(x))
+            if self.dropout > 0.0:
+                h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+            h = nn.Dense(self.dim, dtype=self.dtype)(h)
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         x = nn.LayerNorm(epsilon=1e-5)(x + h)
@@ -310,6 +321,7 @@ class TransformerEncoder(nn.Module):
     final_norm: bool = False
     dtype: jnp.dtype = jnp.float32
     fused_qkv: bool = False
+    moe_experts: int = 0
 
     @nn.compact
     def __call__(self, x, key_padding_mask=None, deterministic: bool = True):
@@ -325,6 +337,7 @@ class TransformerEncoder(nn.Module):
                 self.dropout,
                 dtype=self.dtype,
                 fused_qkv=self.fused_qkv,
+                moe_experts=self.moe_experts,
             )(x, mask=mask, deterministic=deterministic)
         if self.final_norm:
             x = nn.LayerNorm(epsilon=1e-5)(x)

@@ -16,6 +16,12 @@ from diffusion_extensions_tpu.parallel.pp import (
 L, D, B = 8, 16, 16
 
 
+def _spec_str(x):
+    s = getattr(x, "sharding", None)
+    return str(getattr(s, "spec", s))
+
+
+
 def layer_fn(p, h):
     return jnp.tanh(h @ p["w"] + p["b"])
 
@@ -119,7 +125,7 @@ def test_pipeline_trains_sharded(stacked, x, devices):
     mesh = make_mesh([("pp", 4)], devices=devices[:4])
     params = shard_stacked_params(stacked, mesh)
     assert all(
-        "pp" in str(leaf.sharding)
+        "pp" in _spec_str(leaf)
         for leaf in jax.tree_util.tree_leaves(params)
     )
     tx = optax.sgd(1e-2)
@@ -140,7 +146,7 @@ def test_pipeline_trains_sharded(stacked, x, devices):
     p2, _, l2 = step(p1, opt_state)
     assert float(l2) < float(l1)
     assert all(
-        "pp" in str(leaf.sharding) for leaf in jax.tree_util.tree_leaves(p2)
+        "pp" in _spec_str(leaf) for leaf in jax.tree_util.tree_leaves(p2)
     )
 
 
@@ -163,7 +169,7 @@ def test_pipelined_planenet_matches_model(devices):
     mesh = make_mesh([("dp", 2), ("pp", 4)], devices=devices)
     pp_params = planenet_pp_params(params, mesh)
     assert all(
-        "pp" in str(leaf.sharding)
+        "pp" in _spec_str(leaf)
         for leaf in jax.tree_util.tree_leaves(pp_params["layers"])
     ), "encoder layers not pp-sharded at rest"
     got = planenet_pp_apply(model, pp_params, xb, tb, mesh, n_microbatches=4)

@@ -26,6 +26,12 @@ from diffusion_extensions_tpu.train.state import TrainState
 BATCH, POINTS = 8, 32
 
 
+def _spec_str(x):
+    s = getattr(x, "sharding", None)
+    return str(getattr(s, "spec", s))
+
+
+
 @pytest.fixture(scope="module")
 def setup():
     model = PlaneNet(dim=64, heads=4, layers=2)
@@ -116,7 +122,7 @@ def test_gspmd_fsdp_params_and_moments_sharded(setup, devices):
     state, _ = step(state, data)
     p_dp = [
         x for x in jax.tree_util.tree_leaves(state.params)
-        if "dp" in str(getattr(x, "sharding", ""))
+        if "dp" in _spec_str(x)
     ]
     assert p_dp, "no fsdp-sharded params"
     # optax.sgd has no moments; check with adam separately
@@ -126,7 +132,7 @@ def test_gspmd_fsdp_params_and_moments_sharded(setup, devices):
     state2, _ = step2(state2, data)
     o_dp = [
         x for x in jax.tree_util.tree_leaves(state2.opt_state)
-        if "dp" in str(getattr(x, "sharding", ""))
+        if "dp" in _spec_str(x)
     ]
     assert o_dp, "Adam moments not fsdp-sharded"
 

@@ -284,11 +284,19 @@ def bench_samplers(quick):
         lambda x, t: denoise(p, x, t), k, (n,), num_steps=50))
     flow = jax.jit(lambda p, k: process.pf_sample_loop(
         lambda x, t: denoise(p, x, t), k, (n,), num_steps=50))
+    # parallel-in-time Picard variant (ParaDiGMS on SO(3)): each sweep is
+    # one 50x-time-batched model eval + an associative-scan compose
+    picard = jax.jit(lambda p, k: process.parallel_sample_loop(
+        lambda x, t: denoise(p, x, t), k, (n,), num_steps=50, tol=1e-4,
+        return_sweeps=True))
     reps = 2 if quick else 4
     dt_anc = _time_calls(anc, lambda: (params, jax.random.PRNGKey(3)), reps, 1)
     dt_ddim = _time_calls(ddim, lambda: (params, jax.random.PRNGKey(4)), reps, 1)
     dt_flow = _time_calls(flow, lambda: (params, jax.random.PRNGKey(5)), reps, 1)
-    return n, dt_anc / reps, dt_ddim / reps, dt_flow / reps
+    dt_pic = _time_calls(picard, lambda: (params, jax.random.PRNGKey(6)), reps, 1)
+    _, sweeps = picard(params, jax.random.PRNGKey(6))
+    return (n, dt_anc / reps, dt_ddim / reps, dt_flow / reps,
+            dt_pic / reps, int(sweeps))
 
 
 def main(argv=None):
@@ -329,10 +337,13 @@ def main(argv=None):
         }
         n_mmd, mmd_s = bench_mmd(args.quick)
         rows["mmd_eval"] = {"n_samples": n_mmd, "seconds": round(mmd_s, 3)}
-        n_s, anc_s, ddim_s, flow_s = bench_samplers(args.quick)
+        n_s, anc_s, ddim_s, flow_s, pic_s, sweeps = bench_samplers(args.quick)
         rows["sampler_1000"] = {"chains": n_s, "seconds": round(anc_s, 3)}
         rows["ddim_50"] = {"chains": n_s, "seconds": round(ddim_s, 3)}
         rows["pf_flow_50"] = {"chains": n_s, "seconds": round(flow_s, 3)}
+        rows["ddim_50_picard"] = {
+            "chains": n_s, "seconds": round(pic_s, 3), "sweeps": sweeps,
+        }
 
     result = {
         "metric": "aircraft_rotate train steps/sec/chip "

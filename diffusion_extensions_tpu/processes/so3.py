@@ -31,6 +31,7 @@ from ..ops.so3 import (
     exp_skewvec,
     haar_rotations,
     log_rmat_vec,
+    orthogonalise,
     rmul,
     so3_lerp,
     so3_scale,
@@ -255,31 +256,53 @@ class SO3Diffusion:
 
         T = self.num_timesteps
         ts = jnp.linspace(T - 1, 0, num_steps + 1).round().astype(jnp.int32)
-        s = self.schedule
 
         def step(x, i):
             t = jnp.full((b,), ts[i], dtype=jnp.int32)
             t_prev = jnp.full((b,), ts[i + 1], dtype=jnp.int32)
-            x_in = projection(x) if projection is not None else x
-            v = denoise_fn(x_in, t)  # descaled noise direction (B, 3)
-            x_recon = self.predict_start_from_noise(x, t, v)
-            eps_prev = extract(s.sqrt_one_minus_alphas_cumprod, t_prev, 1)
-            noise_prev = exp_skewvec(v * eps_prev)
-            x_prev = rmul(
-                so3_scale(x_recon, extract(s.sqrt_alphas_cumprod, t_prev)),
-                noise_prev,
-            )
-            # duplicated grid points (num_steps ~ T): hold the clean estimate
-            x_prev = jnp.where(
-                (t_prev == t)[..., None, None], x_recon, x_prev
-            )
-            return x_prev, None
+            return self._ddim_map(denoise_fn, x, t, t_prev, projection), None
 
         x, _ = jax.lax.scan(step, x0, jnp.arange(num_steps))
         # final step: map to the clean x0 prediction (acp_{-1} = 1)
         t0 = jnp.zeros((b,), dtype=jnp.int32)
         x_in = projection(x) if projection is not None else x
         return self.predict_start_from_noise(x, t0, denoise_fn(x_in, t0))
+
+    def _ddim_map(self, denoise_fn, x, t, t_prev, projection=None):
+        """One deterministic DDIM step x_t -> x_{t_prev} (batched over any
+        leading dims).  Shared by the sequential loop and the Picard
+        parallel-in-time sampler."""
+        s = self.schedule
+        x_in = projection(x) if projection is not None else x
+        v = denoise_fn(x_in, t)  # descaled noise direction (..., 3)
+        x_recon = self.predict_start_from_noise(x, t, v)
+        eps_prev = extract(s.sqrt_one_minus_alphas_cumprod, t_prev, 1)
+        noise_prev = exp_skewvec(v * eps_prev)
+        x_prev = rmul(
+            so3_scale(x_recon, extract(s.sqrt_alphas_cumprod, t_prev)),
+            noise_prev,
+        )
+        # duplicated grid points (num_steps ~ T): hold the clean estimate
+        return jnp.where((t_prev == t)[..., None, None], x_recon, x_prev)
+
+    def _flow_map(self, denoise_fn, x, t, t_prev, projection=None):
+        """One exact-transport PF step x_t -> x_{t_prev} (see
+        ``pf_sample_loop`` method="flow"); batched over any leading dims."""
+        s = self.schedule
+        x_in = projection(x) if projection is not None else x
+        v = denoise_fn(x_in, t)
+        x_recon = self.predict_start_from_noise(x, t, v)
+        anchor = so3_scale(x_recon, extract(s.sqrt_alphas_cumprod, t))
+        vrel = log_rmat_vec(rmul(jnp.swapaxes(anchor, -1, -2), x))
+        theta = jnp.linalg.norm(vrel, axis=-1)
+        axis = vrel / jnp.maximum(theta, 1e-12)[..., None]
+        theta_p = self.q_table.transport_angles(theta, t, t_prev)
+        rel_p = exp_skewvec(axis * theta_p[..., None])
+        x_new = rmul(
+            so3_scale(x_recon, extract(s.sqrt_alphas_cumprod, t_prev)),
+            rel_p,
+        )
+        return jnp.where((t_prev == t)[..., None, None], x_recon, x_new)
 
     def pf_sample_loop(
         self,
@@ -381,26 +404,10 @@ class SO3Diffusion:
         def flow_step(x, i):
             """Exact transport: re-anchor at the model's x0-hat, quantile-
             map the actual residual angle eps_t -> eps_prev along its own
-            axis (``IGSO3Table.transport_angles``)."""
+            axis (``IGSO3Table.transport_angles``); see ``_flow_map``."""
             t = jnp.full((b,), ts[i], dtype=jnp.int32)
             t_prev = jnp.full((b,), ts[i + 1], dtype=jnp.int32)
-            x_in = projection(x) if projection is not None else x
-            v = denoise_fn(x_in, t)
-            x_recon = self.predict_start_from_noise(x, t, v)
-            anchor = so3_scale(x_recon, extract(s.sqrt_alphas_cumprod, t))
-            vrel = log_rmat_vec(rmul(jnp.swapaxes(anchor, -1, -2), x))
-            theta = jnp.linalg.norm(vrel, axis=-1)
-            axis = vrel / jnp.maximum(theta, 1e-12)[..., None]
-            theta_p = self.q_table.transport_angles(theta, t, t_prev)
-            rel_p = exp_skewvec(axis * theta_p[..., None])
-            x_new = rmul(
-                so3_scale(x_recon, extract(s.sqrt_alphas_cumprod, t_prev)),
-                rel_p,
-            )
-            return (
-                jnp.where((t_prev == t)[..., None, None], x_recon, x_new),
-                None,
-            )
+            return self._flow_map(denoise_fn, x, t, t_prev, projection), None
 
         def step(x, i):
             t = jnp.full((b,), ts[i], dtype=jnp.int32)
@@ -434,6 +441,120 @@ class SO3Diffusion:
         t0 = jnp.zeros((b,), dtype=jnp.int32)
         x_in = projection(x) if projection is not None else x
         return self.predict_start_from_noise(x, t0, denoise_fn(x_in, t0))
+
+    def parallel_sample_loop(
+        self,
+        denoise_fn,
+        key,
+        shape,
+        num_steps: int = 50,
+        method: str = "ddim",
+        tol: float = 1e-4,
+        max_sweeps: int | None = None,
+        projection=None,
+        init=None,
+        grid: str = "karras",
+        return_sweeps: bool = False,
+    ):
+        """Parallel-in-time (Picard) sampling of the deterministic reverse
+        chain — ParaDiGMS (arXiv:2305.16317) adapted to SO(3) (cf.
+        arXiv:2507.10347), TPU-first.
+
+        The sequential DDIM / exact-transport-PF chain is a recurrence
+        ``x_{i+1} = G(x_i, t_i)``.  Instead of S sequential model evals,
+        iterate on the WHOLE trajectory:
+
+        * evaluate ``G`` at every grid point of the current trajectory
+          guess in ONE batched model call (S x B samples — large MXU
+          batches instead of S tiny latency-bound dispatches);
+        * express each step as a *relative* rotation increment
+          ``D_i = x_i^T G(x_i, t_i)`` and rebuild the trajectory by prefix
+          composition ``x_j = x_0 D_0 D_1 ... D_{j-1}`` with
+          ``lax.associative_scan`` over 3x3 matmuls (O(log S) depth);
+        * stop when the sweep's max Frobenius update < ``tol``.
+
+        The fixed point IS the sequential chain (sweep k makes the first
+        k+1 states exact, so ``max_sweeps = num_steps`` guarantees
+        bit-level convergence); parity asserted in
+        ``tests/test_parallel_sampler.py``.  Wall-clock wins whenever the
+        per-step batch under-fills the chip and sweeps converge in
+        K << S (measured in ``bench.py`` rows ddim_50 vs ddim_50_picard).
+
+        ``method``: "ddim" (``_ddim_map``) or "flow" (exact-transport PF,
+        ``_flow_map``).  Returns the clean sample; with
+        ``return_sweeps=True`` also the number of sweeps used.
+        """
+        if method not in ("ddim", "flow"):
+            raise ValueError(f"Unexpected parallel method: {method}")
+        if isinstance(shape, int):
+            shape = (shape,)
+        b = shape[0]
+        if init is None:
+            init = "qr" if self.projected else "igso3"
+        key, init_key = jax.random.split(key)
+        if init == "qr":
+            x0 = haar_rotations(init_key, (b,))
+        else:
+            x0 = self.prior_table.sample(
+                init_key, jnp.zeros(shape, dtype=jnp.int32)
+            )
+
+        T = self.num_timesteps
+        if method == "flow":
+            ts = pf_time_grid(self.schedule, num_steps, grid)
+        else:
+            ts = jnp.linspace(T - 1, 0, num_steps + 1).round().astype(jnp.int32)
+        step_map = self._flow_map if method == "flow" else self._ddim_map
+        S = num_steps
+        if max_sweeps is None:
+            max_sweeps = S
+        # grid timesteps broadcast over the batch: (S, B)
+        t_cur = jnp.broadcast_to(ts[:-1, None], (S, b))
+        t_prev = jnp.broadcast_to(ts[1:, None], (S, b))
+
+        def sweep(X):
+            """One Picard sweep over the trajectory guess X: (S+1, B, 3, 3)."""
+            xn = step_map(
+                denoise_fn,
+                X[:-1].reshape(S * b, 3, 3),
+                t_cur.reshape(S * b),
+                t_prev.reshape(S * b),
+                projection,
+            ).reshape(S, b, 3, 3)
+            # relative increments D_i = x_i^T G(x_i)
+            deltas = rmul(jnp.swapaxes(X[:-1], -1, -2), xn)
+            # prefix composition on the MXU, O(log S) depth (f32 precision:
+            # bf16 accumulation of 3x3 rotation products drifts off SO(3));
+            # re-orthogonalise so f32 drift through the prefix products
+            # never feeds the steep transport map (1e-6 parity vs 2e-4
+            # without — the SVD is negligible next to the model eval)
+            cum = jax.lax.associative_scan(rmul, deltas)
+            Xnew = jnp.concatenate(
+                [x0[None], orthogonalise(rmul(x0[None], cum))], axis=0
+            )
+            diff = jnp.max(jnp.abs(Xnew - X))
+            return Xnew, diff
+
+        X0 = jnp.broadcast_to(x0[None], (S + 1, b, 3, 3))
+
+        def cond(carry):
+            _, diff, k = carry
+            return jnp.logical_and(diff > tol, k < max_sweeps)
+
+        def body(carry):
+            X, _, k = carry
+            Xnew, diff = sweep(X)
+            return Xnew, diff, k + 1
+
+        X, _, k = jax.lax.while_loop(
+            cond, body, (X0, jnp.asarray(jnp.inf, jnp.float32), 0)
+        )
+        # final step: map to the clean x0 prediction (acp_{-1} = 1)
+        x = X[-1]
+        t0 = jnp.zeros((b,), dtype=jnp.int32)
+        x_in = projection(x) if projection is not None else x
+        out = self.predict_start_from_noise(x, t0, denoise_fn(x_in, t0))
+        return (out, k) if return_sweeps else out
 
     # -- training --------------------------------------------------------
     def p_losses(self, denoise_fn, key, x_start, t, projection=None):

@@ -206,6 +206,10 @@ def test(args):
             ("pf_euler_50_karras", lambda p, k: process.pf_sample_loop(
                 denoise(p), k, (NET_SAMPLES,), num_steps=50, method="euler",
                 grid="karras")),
+            # parallel-in-time Picard iteration of the DDIM-50 chain:
+            # same fixed point, K << 50 time-batched sweeps
+            ("ddim_50_picard", lambda p, k: process.parallel_sample_loop(
+                denoise(p), k, (NET_SAMPLES,), num_steps=50, tol=1e-4)),
         ):
             rec = run_sampler(make_loop, tag)
             print(json.dumps(rec))

@@ -261,6 +261,10 @@ def test(args):
                 return process.pf_sample_loop(
                     denoise, k, (args.batch,), num_steps=args.sampler_steps,
                     projection=proj, method="flow")
+            if args.sampler == "picard":
+                return process.parallel_sample_loop(
+                    denoise, k, (args.batch,), num_steps=args.sampler_steps,
+                    projection=proj)
             return process.p_sample_loop(denoise, k, (args.batch,), proj)
         out = process.p_sample_loop(
             denoise, k, (args.batch, 6), projection=proj
@@ -375,7 +379,8 @@ def parse_args(argv=None):
     p.add_argument("--debug-nans", dest="debug_nans", action="store_true",
                    help="enable jax_debug_nans (the torch anomaly-mode equivalent)")
     p.add_argument("--test", action="store_true")
-    p.add_argument("--sampler", choices=("ancestral", "ddim", "pf"),
+    p.add_argument("--sampler",
+                   choices=("ancestral", "ddim", "pf", "picard"),
                    default="ancestral",
                    help="SE(3) eval sampler: the reference's 1000-step "
                         "ancestral chain, or the beyond-reference "

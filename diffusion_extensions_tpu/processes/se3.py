@@ -25,7 +25,14 @@ from flax import struct
 
 from ..ops.igso3 import IGSO3Table
 from ..ops.se3 import AffineGrad, AffineT, se3_scale
-from ..ops.so3 import exp_skewvec, haar_rotations, log_rmat_vec, rmul, so3_scale
+from ..ops.so3 import (
+    exp_skewvec,
+    haar_rotations,
+    log_rmat_vec,
+    orthogonalise,
+    rmul,
+    so3_scale,
+)
 from .schedule import Schedule, extract
 from .so3 import pf_time_grid
 
@@ -224,37 +231,11 @@ class SE3Diffusion:
 
         T = self.num_timesteps
         ts = jnp.linspace(T - 1, 0, num_steps + 1).round().astype(jnp.int32)
-        s = self.schedule
 
         def step(x, i):
             t = jnp.full((b,), ts[i], dtype=jnp.int32)
             t_prev = jnp.full((b,), ts[i + 1], dtype=jnp.int32)
-            x_in = projection(x) if projection is not None else x
-            pred: AffineGrad = denoise_fn(x_in, t)
-            x_recon = self.predict_start_from_noise(x, t, pred)
-            if self.clip_shift > 0.0:
-                x_recon = AffineT(
-                    x_recon.rot,
-                    jnp.clip(x_recon.shift, -self.clip_shift, self.clip_shift),
-                )
-            eps_prev = extract(s.sqrt_one_minus_alphas_cumprod, t_prev, 1)
-            acp_prev = extract(s.sqrt_alphas_cumprod, t_prev)
-            rot_prev = rmul(
-                so3_scale(x_recon.rot, acp_prev),
-                exp_skewvec(pred.rot_g * eps_prev),
-            )
-            shift_prev = (
-                extract(s.sqrt_alphas_cumprod, t_prev, 1) * x_recon.shift
-                + eps_prev * self.shift_scale * pred.shift_g
-            )
-            x_prev = AffineT(rot_prev, shift_prev)
-            # duplicated grid points (num_steps ~ T): hold the x0 estimate
-            hold = (t_prev == t)
-            x_prev = AffineT(
-                jnp.where(hold[..., None, None], x_recon.rot, x_prev.rot),
-                jnp.where(hold[..., None], x_recon.shift, x_prev.shift),
-            )
-            return x_prev, None
+            return self._ddim_map(denoise_fn, x, t, t_prev, projection), None
 
         x, _ = jax.lax.scan(step, x0, jnp.arange(num_steps))
         # final step: the clean x0 prediction at t = 0
@@ -267,6 +248,133 @@ class SE3Diffusion:
                 jnp.clip(x_recon.shift, -self.clip_shift, self.clip_shift),
             )
         return x_recon
+
+    def _ddim_map(self, denoise_fn, x: AffineT, t, t_prev, projection=None):
+        """One deterministic SE(3) DDIM step x_t -> x_{t_prev} (batched
+        over any leading dims).  Shared by the sequential loop and the
+        Picard parallel-in-time sampler."""
+        s = self.schedule
+        x_in = projection(x) if projection is not None else x
+        pred: AffineGrad = denoise_fn(x_in, t)
+        x_recon = self.predict_start_from_noise(x, t, pred)
+        if self.clip_shift > 0.0:
+            x_recon = AffineT(
+                x_recon.rot,
+                jnp.clip(x_recon.shift, -self.clip_shift, self.clip_shift),
+            )
+        eps_prev = extract(s.sqrt_one_minus_alphas_cumprod, t_prev, 1)
+        acp_prev = extract(s.sqrt_alphas_cumprod, t_prev)
+        rot_prev = rmul(
+            so3_scale(x_recon.rot, acp_prev),
+            exp_skewvec(pred.rot_g * eps_prev),
+        )
+        shift_prev = (
+            extract(s.sqrt_alphas_cumprod, t_prev, 1) * x_recon.shift
+            + eps_prev * self.shift_scale * pred.shift_g
+        )
+        # duplicated grid points (num_steps ~ T): hold the x0 estimate
+        hold = (t_prev == t)
+        return AffineT(
+            jnp.where(hold[..., None, None], x_recon.rot, rot_prev),
+            jnp.where(hold[..., None], x_recon.shift, shift_prev),
+        )
+
+    def parallel_sample_loop(
+        self,
+        denoise_fn,
+        key,
+        shape,
+        num_steps: int = 50,
+        tol: float = 1e-4,
+        max_sweeps: int | None = None,
+        projection=None,
+        return_sweeps: bool = False,
+    ) -> AffineT:
+        """Parallel-in-time (Picard) SE(3) DDIM — the product-space
+        extension of ``SO3Diffusion.parallel_sample_loop`` (ParaDiGMS,
+        arXiv:2305.16317): per sweep, ONE time-batched model eval over all
+        S grid points, then trajectory reconstruction from relative
+        increments — rotations by ``associative_scan`` prefix matmuls,
+        shifts by prefix sums of additive increments.  Fixed point ==
+        the sequential ``ddim_sample_loop`` (parity-tested)."""
+        if isinstance(shape, int):
+            shape = (shape,)
+        b = shape[0]
+        key, k_rot, k_shift = jax.random.split(key, 3)
+        x0 = AffineT(
+            haar_rotations(k_rot, (b,)),
+            jax.random.normal(k_shift, (b, 3)),
+        )
+        T = self.num_timesteps
+        ts = jnp.linspace(T - 1, 0, num_steps + 1).round().astype(jnp.int32)
+        S = num_steps
+        if max_sweeps is None:
+            max_sweeps = S
+        t_cur = jnp.broadcast_to(ts[:-1, None], (S, b))
+        t_prev = jnp.broadcast_to(ts[1:, None], (S, b))
+
+        def sweep(X: AffineT):
+            xn = self._ddim_map(
+                denoise_fn,
+                AffineT(
+                    X.rot[:-1].reshape(S * b, 3, 3),
+                    X.shift[:-1].reshape(S * b, 3),
+                ),
+                t_cur.reshape(S * b),
+                t_prev.reshape(S * b),
+                projection,
+            )
+            rot_next = xn.rot.reshape(S, b, 3, 3)
+            shift_next = xn.shift.reshape(S, b, 3)
+            # relative increments; prefix-compose (see SO(3) docstring)
+            deltas = rmul(jnp.swapaxes(X.rot[:-1], -1, -2), rot_next)
+            cum = jax.lax.associative_scan(rmul, deltas)
+            rot_new = jnp.concatenate(
+                [x0.rot[None], orthogonalise(rmul(x0.rot[None], cum))], axis=0
+            )
+            dshift = shift_next - X.shift[:-1]
+            shift_new = jnp.concatenate(
+                [x0.shift[None], x0.shift[None] + jnp.cumsum(dshift, axis=0)],
+                axis=0,
+            )
+            Xnew = AffineT(rot_new, shift_new)
+            # scale-aware criterion: rotation entries are bounded by 1 but
+            # shifts are unbounded, so normalise the shift update by the
+            # trajectory's own magnitude
+            shift_mag = 1.0 + jnp.max(jnp.abs(X.shift))
+            diff = jnp.maximum(
+                jnp.max(jnp.abs(Xnew.rot - X.rot)),
+                jnp.max(jnp.abs(Xnew.shift - X.shift)) / shift_mag,
+            )
+            return Xnew, diff
+
+        X0 = AffineT(
+            jnp.broadcast_to(x0.rot[None], (S + 1, b, 3, 3)),
+            jnp.broadcast_to(x0.shift[None], (S + 1, b, 3)),
+        )
+
+        def cond(carry):
+            _, diff, k = carry
+            return jnp.logical_and(diff > tol, k < max_sweeps)
+
+        def body(carry):
+            X, _, k = carry
+            Xnew, diff = sweep(X)
+            return Xnew, diff, k + 1
+
+        X, _, k = jax.lax.while_loop(
+            cond, body, (X0, jnp.asarray(jnp.inf, jnp.float32), 0)
+        )
+        x = AffineT(X.rot[-1], X.shift[-1])
+        t0 = jnp.zeros((b,), dtype=jnp.int32)
+        x_in = projection(x) if projection is not None else x
+        x_recon = self.predict_start_from_noise(x, t0, denoise_fn(x_in, t0))
+        if self.clip_shift > 0.0:
+            x_recon = AffineT(
+                x_recon.rot,
+                jnp.clip(x_recon.shift, -self.clip_shift, self.clip_shift),
+            )
+        return (x_recon, k) if return_sweeps else x_recon
 
     def pf_sample_loop(
         self,

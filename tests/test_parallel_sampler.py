@@ -68,3 +68,35 @@ def test_parallel_jits(process):
     rtr = np.einsum("bij,bik->bjk", np.asarray(out), np.asarray(out))
     np.testing.assert_allclose(rtr, np.broadcast_to(np.eye(3), (B, 3, 3)),
                                atol=1e-4)
+
+
+def test_se3_parallel_matches_sequential():
+    from diffusion_extensions_tpu.ops.se3 import AffineGrad
+    from diffusion_extensions_tpu.processes.se3 import SE3Diffusion
+
+    proc = SE3Diffusion.create(timesteps=50)
+
+    def se3_denoise(x, t):
+        v = log_rmat_vec(x.rot)
+        tt = (0.5 + 0.1 / (1.0 + t[..., None].astype(jnp.float32)))
+        # tanh keeps the synthetic shift dynamics bounded (a real model
+        # predicts unit-scale noise; unbounded feedback explodes the chain)
+        return AffineGrad(v * tt, 0.3 * jnp.tanh(x.shift) * tt)
+
+    key = jax.random.PRNGKey(4)
+    want = proc.ddim_sample_loop(se3_denoise, key, (B,), num_steps=STEPS)
+    got, k = proc.parallel_sample_loop(
+        se3_denoise, key, (B,), num_steps=STEPS, tol=0.0, return_sweeps=True
+    )
+    assert int(k) == STEPS
+    np.testing.assert_allclose(np.asarray(got.rot), np.asarray(want.rot),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.shift), np.asarray(want.shift),
+                               rtol=1e-4, atol=1e-4)
+    # and with an early-exit tolerance it converges in fewer sweeps
+    got2, k2 = proc.parallel_sample_loop(
+        se3_denoise, key, (B,), num_steps=STEPS, tol=1e-4, return_sweeps=True
+    )
+    assert int(k2) < STEPS
+    np.testing.assert_allclose(np.asarray(got2.shift), np.asarray(want.shift),
+                               rtol=1e-3, atol=1e-3)

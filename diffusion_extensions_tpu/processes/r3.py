@@ -152,21 +152,11 @@ class GaussianDiffusion:
         def step(x, i):
             t = jnp.full((b,), ts[i], dtype=jnp.int32)
             t_prev = jnp.full((b,), ts[i + 1], dtype=jnp.int32)
-            nd = x.ndim - 1
-            x_in = projection(x) if projection is not None else x
-            eps_pred = denoise_fn(x_in, t)
-            x_recon = self.predict_start_from_noise(x, t, eps_pred)
-            if clip_denoised:
-                x_recon = jnp.clip(x_recon, -1.0, 1.0)
-            x_prev = (
-                extract(s.sqrt_alphas_cumprod, t_prev, nd) * x_recon
-                + extract(s.sqrt_one_minus_alphas_cumprod, t_prev, nd)
-                * eps_pred
+            return (
+                self._ddim_map(denoise_fn, x, t, t_prev, clip_denoised,
+                               projection),
+                None,
             )
-            x_prev = jnp.where(
-                (t_prev == t).reshape(b, *((1,) * nd)), x_recon, x_prev
-            )
-            return x_prev, None
 
         x, _ = jax.lax.scan(step, x0, jnp.arange(num_steps))
         # final step: map to the clean x0 prediction (acp_{-1} = 1)
@@ -176,6 +166,96 @@ class GaussianDiffusion:
         if clip_denoised:
             x = jnp.clip(x, -1.0, 1.0)
         return x
+
+    def _ddim_map(self, denoise_fn, x, t, t_prev, clip_denoised,
+                  projection=None):
+        """One deterministic DDIM step x_t -> x_{t_prev} (batched over any
+        leading dims).  Shared by the sequential loop and the Picard
+        parallel-in-time sampler."""
+        s = self.schedule
+        b = x.shape[0]
+        nd = x.ndim - 1
+        x_in = projection(x) if projection is not None else x
+        eps_pred = denoise_fn(x_in, t)
+        x_recon = self.predict_start_from_noise(x, t, eps_pred)
+        if clip_denoised:
+            x_recon = jnp.clip(x_recon, -1.0, 1.0)
+        x_prev = (
+            extract(s.sqrt_alphas_cumprod, t_prev, nd) * x_recon
+            + extract(s.sqrt_one_minus_alphas_cumprod, t_prev, nd) * eps_pred
+        )
+        return jnp.where(
+            (t_prev == t).reshape(b, *((1,) * nd)), x_recon, x_prev
+        )
+
+    def parallel_sample_loop(
+        self,
+        denoise_fn,
+        key,
+        shape,
+        num_steps: int = 50,
+        tol: float = 1e-4,
+        max_sweeps: int | None = None,
+        clip_denoised=None,
+        projection=None,
+        return_sweeps: bool = False,
+    ):
+        """Parallel-in-time (Picard / ParaDiGMS, arXiv:2305.16317) DDIM:
+        each sweep is ONE time-batched model eval over all S grid points;
+        the trajectory is rebuilt from additive increments by prefix sums.
+        Fixed point == the sequential ``ddim_sample_loop``
+        (``tests/test_parallel_sampler.py``); converges in K < S sweeps.
+        """
+        if clip_denoised is None:
+            clip_denoised = self.clip_denoised_default
+        b = shape[0]
+        key, init_key = jax.random.split(key)
+        x0 = jax.random.normal(init_key, shape)
+        T = self.num_timesteps
+        ts = jnp.linspace(T - 1, 0, num_steps + 1).round().astype(jnp.int32)
+        S = num_steps
+        if max_sweeps is None:
+            max_sweeps = S
+        t_cur = jnp.broadcast_to(ts[:-1, None], (S, b))
+        t_prev = jnp.broadcast_to(ts[1:, None], (S, b))
+
+        def sweep(X):
+            xn = self._ddim_map(
+                denoise_fn,
+                X[:-1].reshape((S * b,) + shape[1:]),
+                t_cur.reshape(S * b),
+                t_prev.reshape(S * b),
+                clip_denoised,
+                projection,
+            ).reshape((S,) + shape)
+            dx = xn - X[:-1]
+            Xnew = jnp.concatenate(
+                [x0[None], x0[None] + jnp.cumsum(dx, axis=0)], axis=0
+            )
+            mag = 1.0 + jnp.max(jnp.abs(X))
+            return Xnew, jnp.max(jnp.abs(Xnew - X)) / mag
+
+        X0 = jnp.broadcast_to(x0[None], (S + 1,) + shape)
+
+        def cond(carry):
+            _, diff, k = carry
+            return jnp.logical_and(diff > tol, k < max_sweeps)
+
+        def body(carry):
+            X, _, k = carry
+            Xnew, diff = sweep(X)
+            return Xnew, diff, k + 1
+
+        X, _, k = jax.lax.while_loop(
+            cond, body, (X0, jnp.asarray(jnp.inf, jnp.float32), 0)
+        )
+        x = X[-1]
+        t0 = jnp.zeros((b,), dtype=jnp.int32)
+        x_in = projection(x) if projection is not None else x
+        x = self.predict_start_from_noise(x, t0, denoise_fn(x_in, t0))
+        if clip_denoised:
+            x = jnp.clip(x, -1.0, 1.0)
+        return (x, k) if return_sweeps else x
 
     def interpolate(self, denoise_fn, key, x1, x2, t=None, lam=0.5):
         """Latent-space interpolation (reference: ``diffusion.py:150-164``)."""

@@ -100,3 +100,27 @@ def test_se3_parallel_matches_sequential():
     assert int(k2) < STEPS
     np.testing.assert_allclose(np.asarray(got2.shift), np.asarray(want.shift),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_r3_parallel_matches_sequential():
+    from diffusion_extensions_tpu.processes.r3 import GaussianDiffusion
+
+    proc = GaussianDiffusion.create(timesteps=50)
+
+    def r3_denoise(x, t):
+        return 0.5 * jnp.tanh(x) / (1.0 + t[:, None].astype(jnp.float32) / 50)
+
+    key = jax.random.PRNGKey(5)
+    want = proc.ddim_sample_loop(r3_denoise, key, (B, 3), num_steps=STEPS)
+    got, k = proc.parallel_sample_loop(
+        r3_denoise, key, (B, 3), num_steps=STEPS, tol=0.0, return_sweeps=True
+    )
+    assert int(k) == STEPS
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    got2, k2 = proc.parallel_sample_loop(
+        r3_denoise, key, (B, 3), num_steps=STEPS, tol=1e-4, return_sweeps=True
+    )
+    assert int(k2) < STEPS
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want),
+                               rtol=1e-3, atol=1e-3)

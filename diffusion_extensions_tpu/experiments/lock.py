@@ -80,7 +80,9 @@ def train(args):
     def loss_fn(params, key, batch):
         return process.loss(lambda x, t: model.apply(params, x, t), key, batch)
 
-    step_fn = make_dp_train_step(loss_fn, tx, mesh)
+    # skip_nonfinite: the reference's lock trainer skips NaN-loss steps
+    # (so3_lock_train.py:83-84) — same resilience, branch-free under jit
+    step_fn = make_dp_train_step(loss_fn, tx, mesh, skip_nonfinite=True)
     batch_fn = _make_batch_fn(args)
     logger = MetricLogger(jsonl_path=args.log, print_every=args.print_every)
     meter = Throughput()

@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import Callable
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..train.state import TrainState
@@ -26,6 +27,7 @@ def make_dp_train_step(
     donate: bool = True,
     steps_per_call: int = 1,
     log_norms: bool = False,
+    skip_nonfinite: bool = False,
 ):
     """Build a jitted data-parallel train step.
 
@@ -57,6 +59,25 @@ def make_dp_train_step(
         grads = jax.lax.pmean(grads, axis)
         loss = jax.lax.pmean(loss, axis)
         new_state = state.apply_gradients(tx, grads, next_key)
+        if skip_nonfinite:
+            # branch-free equivalent of the reference's NaN-skip
+            # (so3_lock_train.py:83-84): a step whose global loss or grads
+            # are non-finite advances step/PRNG but leaves params and
+            # optimizer state untouched
+            import optax
+
+            ok = jnp.logical_and(
+                jnp.isfinite(loss), jnp.isfinite(optax.global_norm(grads))
+            )
+            keep = lambda new, old: jax.tree_util.tree_map(
+                lambda a, b: jnp.where(ok, a, b), new, old
+            )
+            new_state = TrainState(
+                step=new_state.step,
+                params=keep(new_state.params, state.params),
+                opt_state=keep(new_state.opt_state, state.opt_state),
+                key=new_state.key,
+            )
         metrics = {"loss": loss}
         if log_norms:
             import optax

@@ -145,3 +145,53 @@ def test_lock_batch_on_geodesic():
     ang = np.asarray(rotation_angle(batch))
     assert ang.min() > np.pi / 3 - 1e-4
     assert ang.max() < 2 * np.pi / 3 + 1e-4
+
+
+def test_dp_skip_nonfinite(devices):
+    """skip_nonfinite holds params/optimizer through a NaN step (the
+    reference lock trainer's resilience, so3_lock_train.py:83-84) while
+    still advancing step/PRNG, and applies finite steps normally."""
+    import flax.linen as nn
+
+    class Lin(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Dense(1)(x)
+
+    model = Lin()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4)))
+    tx = optax.sgd(1e-2)
+    mesh = make_mesh()
+
+    def loss_fn(p, key, batch):
+        x, poison = batch
+        base = jnp.mean(model.apply(p, x) ** 2)
+        # poison=1 divides by zero: inf loss, non-finite grads; poison=0
+        # leaves the loss untouched (no NaN contamination of the clean path)
+        return base / (1.0 - poison[0])
+
+    step_fn = make_dp_train_step(loss_fn, tx, mesh, donate=False,
+                                 skip_nonfinite=True)
+    state = TrainState.create(params, tx, jax.random.PRNGKey(1))
+    x = jnp.ones((8, 4))
+    clean = (x, jnp.zeros((8,)))
+    poisoned = (x, jnp.ones((8,)))
+
+    s1, m1 = step_fn(state, shard_batch(clean, mesh))
+    assert np.isfinite(float(m1["loss"]))
+    leaves_before = jax.tree_util.tree_leaves(s1.params)
+
+    s2, m2 = step_fn(s1, shard_batch(poisoned, mesh))
+    assert not np.isfinite(float(m2["loss"]))
+    for a, b in zip(jax.tree_util.tree_leaves(s2.params), leaves_before):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(s2.step) == 2  # step/PRNG still advance
+
+    s3, _ = step_fn(s2, shard_batch(clean, mesh))
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(s3.params), leaves_before
+        )
+    )
+    assert changed, "finite step after a skipped one must update params"

@@ -52,7 +52,8 @@ def load_data(split: str, args) -> np.ndarray:
 
 def build(args):
     model = PlaneNet(
-        dim=args.dim, heads=args.heads, layers=args.layers, bf16=args.bf16
+        dim=args.dim, heads=args.heads, layers=args.layers, bf16=args.bf16,
+        moe_experts=getattr(args, "moe_experts", 0),
     )
     if args.so3:
         process = ProjectedSO3Diffusion(timesteps=args.timesteps)
@@ -322,6 +323,9 @@ def parse_args(argv=None):
     p.add_argument("--sp", type=int, default=1,
                    help="sequence-parallel mesh size: shard the points axis "
                         "over 'sp' (GSPMD step)")
+    p.add_argument("--moe-experts", dest="moe_experts", type=int, default=0,
+                   help="swap the FFN for a Switch MoE with this many "
+                        "experts (ep-shardable, models/moe.py); 0 = dense")
     p.add_argument("--log-norms", dest="log_norms", action="store_true",
                    help="log grad/param global norms (wandb.watch equivalent)")
     p.add_argument("--timesteps", type=int, default=1000)

@@ -33,6 +33,7 @@ class PlaneNet(nn.Module):
     layers: int = 4
     dropout: float = 0.0
     bf16: bool = False
+    moe_experts: int = 0  # >0: Switch MoE FFN (ep-shardable, models/moe.py)
 
     @nn.compact
     def __call__(self, x: jax.Array, t: jax.Array, deterministic: bool = True):
@@ -47,6 +48,7 @@ class PlaneNet(nn.Module):
             dropout=self.dropout,
             final_norm=False,
             dtype=jnp.bfloat16 if self.bf16 else jnp.float32,
+            moe_experts=self.moe_experts,
         )(h, deterministic=deterministic)
         h = h.astype(jnp.float32)
         pooled = PoolRN(self.dim)(h)  # (B, dim)

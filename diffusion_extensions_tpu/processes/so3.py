@@ -476,9 +476,18 @@ class SO3Diffusion:
         The fixed point IS the sequential chain (sweep k makes the first
         k+1 states exact, so ``max_sweeps = num_steps`` guarantees
         bit-level convergence); parity asserted in
-        ``tests/test_parallel_sampler.py``.  Wall-clock wins whenever the
-        per-step batch under-fills the chip and sweeps converge in
-        K << S (measured in ``bench.py`` rows ddim_50 vs ddim_50_picard).
+        ``tests/test_parallel_sampler.py``.
+
+        MEASURED VERDICT (TPU v5e, trained Bingham RotPredict, 512
+        chains, 50 steps): the iteration needs the full S sweeps — a
+        trained denoiser is not a contraction, so information propagates
+        one grid point per sweep — and the sequential chain inside ONE
+        jitted ``lax.scan`` has no dispatch overhead to recover (46 ms),
+        so this is 5.5 s vs 0.046 s: a ~120x LOSS on this hardware
+        (bench.py row ddim_50_picard).  Kept as a correctness-preserving
+        capability and a recorded negative result; see DESIGN.md §11 for
+        when the literature's wins (eager per-step dispatch, sliding
+        windows + sample-quality tolerances) do and don't transfer.
 
         ``method``: "ddim" (``_ddim_map``) or "flow" (exact-transport PF,
         ``_flow_map``).  Returns the clean sample; with

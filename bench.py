@@ -293,8 +293,11 @@ def bench_samplers(quick):
     dt_anc = _time_calls(anc, lambda: (params, jax.random.PRNGKey(3)), reps, 1)
     dt_ddim = _time_calls(ddim, lambda: (params, jax.random.PRNGKey(4)), reps, 1)
     dt_flow = _time_calls(flow, lambda: (params, jax.random.PRNGKey(5)), reps, 1)
-    dt_pic = _time_calls(picard, lambda: (params, jax.random.PRNGKey(6)), reps, 1)
-    _, sweeps = picard(params, jax.random.PRNGKey(6))
+    # warm up manually so the sweep count comes from the warmup call
+    # instead of a 6th full ~5s Picard run
+    out, sweeps = picard(params, jax.random.PRNGKey(6))
+    jax.block_until_ready(out)
+    dt_pic = _time_calls(picard, lambda: (params, jax.random.PRNGKey(6)), reps, 0)
     return (n, dt_anc / reps, dt_ddim / reps, dt_flow / reps,
             dt_pic / reps, int(sweeps))
 

@@ -64,16 +64,28 @@ def build(args):
     return model, process, truepos
 
 
-def make_loss_fn(model, process, truepos, so3: bool):
+def make_loss_fn(model, process, truepos, so3: bool, aux_weight: float = 0.01):
+    moe = getattr(model, "moe_experts", 0) > 0
+
     def loss_fn(params, key, batch):
         proj = PointCloudProj(batch, so3=so3)
         b = batch.shape[0]
-        return process.loss(
-            lambda x, t: model.apply(params, x, t),
-            key,
-            truepos[:b],
-            projection=proj,
-        )
+        aux = []
+
+        def denoise(x, t):
+            if moe:
+                # pull the sown Switch load-balance loss (models/moe.py);
+                # a plain apply() would silently drop it and let the
+                # router collapse onto one expert
+                out, st = model.apply(params, x, t, mutable=["losses"])
+                aux.append(sum(jax.tree_util.tree_leaves(st["losses"])))
+                return out
+            return model.apply(params, x, t)
+
+        base = process.loss(denoise, key, truepos[:b], projection=proj)
+        if aux:
+            base = base + aux_weight * sum(aux) / len(aux)
+        return base
 
     return loss_fn
 
@@ -84,7 +96,10 @@ def train(args):
     key, init_key = jax.random.split(key)
     x_init = jnp.zeros((args.batch, args.samples, 3))
     t_init = jnp.zeros((args.batch,), dtype=jnp.int32)
-    params = model.init(init_key, x_init, t_init)
+    # keep only the params collection: with --moe-experts, init() also
+    # returns the sown "losses" collection, which must not leak into
+    # TrainState/Adam/checkpoints as a bogus leaf
+    params = {"params": model.init(init_key, x_init, t_init)["params"]}
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     print(f"PlaneNet params: {n_params/1e6:.2f}M")
     tx = optax.adam(args.lr)
@@ -94,6 +109,13 @@ def train(args):
 
     loss_fn = make_loss_fn(model, process, truepos, args.so3)
     K = max(args.steps_per_call, 1)
+    if args.sp > 1 and args.samples % args.sp != 0:
+        # batch_spec would silently fall back to dp-only while the mesh
+        # still spends devices on the sp axis — refuse loudly instead
+        raise SystemExit(
+            f"--sp {args.sp} does not divide --samples {args.samples}; "
+            "sequence parallelism needs a divisible points axis"
+        )
     if args.tp > 1 or args.sp > 1 or args.fsdp:
         # dp x sp x tp GSPMD step: global-batch program, kernels sharded on
         # "tp", the points axis on "sp"; --fsdp additionally shards params +
@@ -206,11 +228,13 @@ def test(args):
     (``aircraft_test.py:71-99`` + ``aircraft_diags.py:17-23``)."""
     model, process, truepos = build(args)
     key = jax.random.PRNGKey(args.seed)
-    params = model.init(
-        key,
-        jnp.zeros((1, args.samples, 3)),
-        jnp.zeros((1,), jnp.int32),
-    )
+    params = {
+        "params": model.init(
+            key,
+            jnp.zeros((1, args.samples, 3)),
+            jnp.zeros((1,), jnp.int32),
+        )["params"]
+    }
     tx = optax.adam(args.lr)
     state = restore_checkpoint(args.ckpt, TrainState.create(params, tx, key))
     if int(state.step) == 0:

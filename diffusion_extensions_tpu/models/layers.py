@@ -238,8 +238,9 @@ class TransformerEncoderLayer(nn.Module):
                 self.dim,
                 self.moe_experts,
                 self.dim_feedforward,
+                dropout=self.dropout,
                 dtype=self.dtype,
-            )(x)
+            )(x, deterministic=deterministic)
         else:
             h = nn.relu(nn.Dense(self.dim_feedforward, dtype=self.dtype)(x))
             if self.dropout > 0.0:

@@ -42,10 +42,13 @@ class MoEFFN(nn.Module):
     n_experts: int
     dim_feedforward: int = 2048
     capacity_factor: float = 1.25
+    dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, deterministic: bool = True
+    ) -> jax.Array:
         b, n, d = x.shape
         t = b * n
         e = self.n_experts
@@ -104,6 +107,10 @@ class MoEFFN(nn.Module):
         b2 = self.param("b2", nn.initializers.zeros, (e, d), jnp.float32)
         h = jnp.einsum("ecd,edf->ecf", xin, w1.astype(self.dtype))
         h = jax.nn.relu(h + b1[:, None, :].astype(self.dtype))
+        if self.dropout > 0.0:
+            # mirror the dense FFN's hidden dropout so toggling MoE does
+            # not silently change regularization
+            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = jnp.einsum("ecf,efd->ecd", h, w2.astype(self.dtype))
         h = h + b2[:, None, :].astype(self.dtype)
 

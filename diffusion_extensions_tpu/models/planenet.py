@@ -95,6 +95,11 @@ def planenet_pp_apply(
     """
     from ..parallel.pp import pipeline_apply
 
+    if model.moe_experts > 0:
+        raise NotImplementedError(
+            "planenet_pp_apply pipelines the dense encoder stack; the MoE "
+            "variant needs per-stage losses-collection handling"
+        )
     dtype = jnp.bfloat16 if model.bf16 else jnp.float32
     emb = Siren(model.dim // 2, scale=30)
     x_emb = emb.apply({"params": pp_params["embed"]["Siren_0"]}, x)
@@ -102,8 +107,14 @@ def planenet_pp_apply(
     t_tok = jnp.broadcast_to(t_emb[:, None, :], x_emb.shape)
     h = jnp.concatenate((x_emb, t_tok), axis=-1)
 
+    # derive the layer config from the same defaults PlaneNet's encoder
+    # uses (dataclass field default, not a duplicated literal)
     template = TransformerEncoderLayer(
-        model.dim, model.heads, 2048, model.dropout, dtype=dtype
+        model.dim,
+        model.heads,
+        TransformerEncoder.dim_feedforward,
+        model.dropout,
+        dtype=dtype,
     )
 
     def layer_fn(p_l, h):

@@ -43,3 +43,10 @@ def require_golden(name: str):
     if not os.path.exists(path):
         pytest.skip(f"golden file {name} not generated (run tools/make_goldens.py)")
     return np.load(path)
+
+
+def spec_str(x):
+    """Stringified PartitionSpec of an array's sharding (NOT str(sharding),
+    which embeds every mesh axis name and makes substring checks vacuous)."""
+    s = getattr(x, "sharding", None)
+    return str(getattr(s, "spec", s))

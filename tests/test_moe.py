@@ -14,9 +14,7 @@ from diffusion_extensions_tpu.parallel.mesh import make_mesh
 B, N, D, E = 4, 16, 32, 4
 
 
-def _spec_str(x):
-    s = getattr(x, "sharding", None)
-    return str(getattr(s, "spec", s))
+from conftest import spec_str as _spec_str
 
 
 
@@ -108,3 +106,30 @@ def test_moe_ep_sharded_train_step_matches_replicated(x, devices):
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_aircraft_loss_includes_moe_aux():
+    """make_loss_fn must pull the sown load-balance loss for MoE models
+    (a plain apply() silently drops it and the router never balances)."""
+    from diffusion_extensions_tpu.experiments.aircraft import make_loss_fn
+    from diffusion_extensions_tpu.models.planenet import PlaneNet
+    from diffusion_extensions_tpu.processes.so3 import ProjectedSO3Diffusion
+
+    model = PlaneNet(dim=32, heads=2, layers=1, moe_experts=4)
+    proc = ProjectedSO3Diffusion(timesteps=10)
+    truepos = jnp.broadcast_to(jnp.eye(3), (2, 3, 3))
+    batch = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 8, 3)).astype(np.float32)
+    )
+    params = {
+        "params": model.init(
+            jax.random.PRNGKey(0), batch, jnp.zeros((2,), jnp.int32)
+        )["params"]
+    }
+    key = jax.random.PRNGKey(1)
+    with_aux = make_loss_fn(model, proc, truepos, so3=True)(params, key, batch)
+    no_aux = make_loss_fn(model, proc, truepos, so3=True, aux_weight=0.0)(
+        params, key, batch
+    )
+    assert np.isfinite(float(with_aux)) and np.isfinite(float(no_aux))
+    assert float(with_aux) != float(no_aux), "aux loss not included"

@@ -16,9 +16,7 @@ from diffusion_extensions_tpu.parallel.pp import (
 L, D, B = 8, 16, 16
 
 
-def _spec_str(x):
-    s = getattr(x, "sharding", None)
-    return str(getattr(s, "spec", s))
+from conftest import spec_str as _spec_str
 
 
 

@@ -26,9 +26,7 @@ from diffusion_extensions_tpu.train.state import TrainState
 BATCH, POINTS = 8, 32
 
 
-def _spec_str(x):
-    s = getattr(x, "sharding", None)
-    return str(getattr(s, "spec", s))
+from conftest import spec_str as _spec_str
 
 
 

@@ -15,6 +15,7 @@ compiled step is reused since shapes are static.
 from __future__ import annotations
 
 import argparse
+import os
 
 import jax
 import jax.numpy as jnp
@@ -129,7 +130,8 @@ def test(args):
         f"median={np.median(err_px):.2f}px mean={err_px.mean():.2f}px "
         f"p90={np.percentile(err_px, 90):.2f}px"
     )
-    np.save("jigsaw_samples.npy", np.asarray(out))
+    os.makedirs("results", exist_ok=True)
+    np.save("results/jigsaw_samples.npy", np.asarray(out))
     if args.plot:
         # final-frame grid (the reference renders sampled frames,
         # jigsaw_test.py:33-73)

@@ -18,6 +18,7 @@ visual (``so3_lock_test.py:36-82``).
 from __future__ import annotations
 
 import argparse
+import os
 
 import jax
 import jax.numpy as jnp
@@ -158,7 +159,8 @@ def test(args):
     print(f"param={args.param}  samples={args.eval_batch}")
     print(f"  |axis.y| mean={y_align.mean():.4f}  (1.0 = perfectly on-axis)")
     print(f"  angle mean={ang.mean():.4f} rad  in-range frac={in_range:.3f}")
-    np.save(f"lock_samples_{args.param}.npy", np.asarray(rots))
+    os.makedirs("results", exist_ok=True)
+    np.save(f"results/lock_samples_{args.param}.npy", np.asarray(rots))
     if args.plot:
         # the reference's mayavi sphere scatter of final frames
         # (so3_lock_test.py:51-82), rendered headless

@@ -76,9 +76,10 @@ from diffusion_extensions_tpu.train.state import TrainState
 
 REF_GPU_STEPS_PER_SEC = 19.3  # reference speed-of-light bound; see docstring
 PEAK_BF16 = 197e12  # TPU v5e bf16 TFLOP/s peak per chip
+PEAK_F32 = 98.5e12  # f32 peak (half the MXU rate) — the --no-bf16 denominator
 
 
-def _flops_per_step(step_fn, *example_args, K: int = 1):
+def _flops_per_step(step_fn, *example_args):
     """XLA-reported FLOPs of the compiled step.  A lax.scan body is counted
     once regardless of trip count (verified in tools/mfu_probe.py), so the
     reported number IS the per-step cost for K-fused steps."""
@@ -132,7 +133,7 @@ def bench_aircraft(args, n_chips):
         return shard_batch(b, mesh) if K == 1 else jax.device_put(b)
 
     batches = [mk_batch() for _ in range(8)]
-    flops = _flops_per_step(step_fn, state, batches[0], K=K)
+    flops = _flops_per_step(step_fn, state, batches[0])
 
     n_calls = max(args.steps // K, 1)
     warm_calls = max(args.warmup // K, 3)
@@ -152,7 +153,10 @@ def bench_aircraft(args, n_chips):
     dt = _time_calls(call, next_args, n_calls, warm_calls)
     steps_per_sec = n_calls * K / dt
     per_chip = steps_per_sec / n_chips if n_chips > 1 else steps_per_sec
-    mfu = per_chip * flops / PEAK_BF16 if np.isfinite(flops) else None
+    # MFU against the peak of the dtype actually running on the MXU —
+    # a bf16 denominator under --no-bf16 would understate MFU ~2x
+    peak = PEAK_BF16 if args.bf16 else PEAK_F32
+    mfu = per_chip * flops / peak if np.isfinite(flops) else None
     return per_chip, mfu, flops
 
 

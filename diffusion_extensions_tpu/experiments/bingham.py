@@ -158,6 +158,13 @@ def test(args):
     def run_sampler(make_loop, tag):
         sampler = jax.jit(make_loop)
         runs = SAMPLES // NET_SAMPLES
+        # warm up outside the timer: the first call compiles, and the
+        # 1000-step scan compiles far slower than the short chains —
+        # sample_seconds must compare sampling, not compile latency
+        jax.block_until_ready(
+            sampler(params, jax.random.fold_in(
+                jax.random.PRNGKey(args.seed + 3), 0))
+        )
         chunks = []
         t0 = time.perf_counter()
         for i in range(runs):

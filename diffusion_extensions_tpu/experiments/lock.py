@@ -164,8 +164,6 @@ def test(args):
     if args.plot:
         # the reference's mayavi sphere scatter of final frames
         # (so3_lock_test.py:51-82), rendered headless
-        import os
-
         from ..viz.sphere import plot_rotation_frames
 
         os.makedirs("images", exist_ok=True)

@@ -295,7 +295,11 @@ def test(args):
             chosen.append((rec, lig))
         batch = pad_prot_batch(chosen, lr, ll)
         for s in range(SAMPLES):
-            k = jax.random.fold_in(jax.random.PRNGKey(args.seed + 1), b * 10 + s)
+            # stride by SAMPLES so keys cannot collide across batches even
+            # if the per-pose sample count is ever raised
+            k = jax.random.fold_in(
+                jax.random.PRNGKey(args.seed + 1), b * SAMPLES + s
+            )
             aff = sample_fn(params, k, batch)
             _, ang = rmat_to_aa(aff.rot)
             angles.append(np.asarray(ang)[..., 0])

@@ -187,7 +187,8 @@ def parse_args(argv=None):
     p.add_argument("--sampler", choices=("ancestral", "ddim", "pf"),
                    default="ancestral",
                    help="reverse chain for --test: ancestral 1000-step, "
-                        "DDIM, or probability-flow Heun (score-driven)")
+                        "DDIM, or the exact-transport probability-flow "
+                        "integrator (method='flow')")
     p.add_argument("--sampler-steps", dest="sampler_steps", type=int,
                    default=50, help="model evals for ddim/pf samplers")
     p.add_argument("--eval-batch", dest="eval_batch", type=int, default=512)

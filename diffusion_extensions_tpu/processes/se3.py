@@ -501,8 +501,6 @@ class SE3Diffusion:
             if method == "heun":
                 x_recon2, _, rs2, ss2, _ = eval_drift(x_euler, t_prev)
                 u2 = -eps_p[..., None] * rs2 * dsig
-                acp_prev = extract(s.sqrt_alphas_cumprod, t_prev)
-                resid2 = x_euler.shift - acp_prev[..., None] * x_recon2.shift
                 v2 = -(eps_p[..., None] * self.shift_scale) * ss2 * (
                     dsig * self.shift_scale
                 )

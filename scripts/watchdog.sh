@@ -11,7 +11,10 @@ STALL=$1
 PROG=$2
 shift 3
 
-"$@" &
+# setsid: run the job in its own process group so a stall-kill reaps the
+# WHOLE tree (bash -c "python | tee" wrappers would otherwise leave the
+# python/tee children holding the TPU relay while the queue retries)
+setsid "$@" &
 PID=$!
 START=$(date +%s)
 while kill -0 "$PID" 2>/dev/null; do
@@ -26,10 +29,10 @@ while kill -0 "$PID" 2>/dev/null; do
   fi
   NOW=$(date +%s)
   if [ $((NOW - M)) -gt "$STALL" ]; then
-    echo "WATCHDOG: no progress on $PROG in ${STALL}s; killing $PID" >&2
-    kill "$PID" 2>/dev/null
+    echo "WATCHDOG: no progress on $PROG in ${STALL}s; killing group $PID" >&2
+    kill -- "-$PID" 2>/dev/null
     sleep 5
-    kill -9 "$PID" 2>/dev/null
+    kill -9 -- "-$PID" 2>/dev/null
     wait "$PID" 2>/dev/null
     exit 42
   fi

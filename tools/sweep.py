@@ -60,10 +60,16 @@ def collect_metric(log_path: str, metric: str, agg: str = "last"):
 
 
 def rank_results(results, maximize: bool = False):
-    """Sort result records by their ``value`` (None-valued runs sink to the
-    bottom) and attach 1-based ``rank``."""
-    scored = [r for r in results if r.get("value") is not None]
-    failed = [r for r in results if r.get("value") is None]
+    """Sort result records by their ``value`` and attach 1-based ``rank``.
+
+    A run that exited non-zero sinks to the bottom even if its partial log
+    contains metric values — a crashed config must never outrank a
+    completed one."""
+    def ok(r):
+        return r.get("value") is not None and not r.get("returncode")
+
+    scored = [r for r in results if ok(r)]
+    failed = [r for r in results if not ok(r)]
     scored.sort(key=lambda r: r["value"], reverse=maximize)
     ranked = scored + failed
     for i, r in enumerate(ranked):

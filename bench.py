@@ -76,7 +76,87 @@ from diffusion_extensions_tpu.train.state import TrainState
 
 REF_GPU_STEPS_PER_SEC = 19.3  # reference speed-of-light bound; see docstring
 PEAK_BF16 = 197e12  # TPU v5e bf16 TFLOP/s peak per chip
-PEAK_F32 = 98.5e12  # f32 peak (half the MXU rate) — the --no-bf16 denominator
+# f32 denominator for --no-bf16 runs.  NOTE: this assumes f32 matmul runs at
+# exactly half the bf16 MXU rate; XLA's f32 path is not cleanly half-rate, so
+# the --no-bf16 MFU is an ESTIMATE, not a calibrated fraction of hardware
+# peak (the result carries "mfu_approx": true in that mode).
+PEAK_F32 = 98.5e12
+
+
+def _previous_bench():
+    """Latest committed BENCH_r*.json — the round-over-round regression
+    baseline (VERDICT r3 item 6: the r2->r3 1% headline drift went
+    unremarked because nothing compared rounds)."""
+    import glob
+    import os
+    import re
+
+    best = None
+    for path in glob.glob(os.path.join(os.path.dirname(__file__) or ".",
+                                       "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        if best is None or rnd > best[0]:
+            best = (rnd, path)
+    if best is None:
+        return None
+    try:
+        with open(best[1]) as f:
+            prev = json.load(f)
+        # the driver wraps the bench line: {"n": N, "cmd": ..., "tail":
+        # "<log noise>\n<the json line>"} — unwrap to the inner record
+        if "value" not in prev and "tail" in prev:
+            for line in reversed(str(prev["tail"]).splitlines()):
+                line = line.strip()
+                if line.startswith("{"):
+                    try:
+                        inner = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue
+                    if "value" in inner:
+                        prev = inner
+                        break
+            else:
+                return None
+        prev["_round"] = best[0]
+        return prev
+    except Exception:
+        return None
+
+
+def _regression_check(result, threshold_pct=3.0):
+    """Compare the headline against the previous round's BENCH file; print a
+    human-readable delta block to stderr (stdout stays the one JSON line)
+    and return fields to merge into the result."""
+    prev = _previous_bench()
+    if prev is None or not prev.get("value"):
+        return {}
+    delta_pct = 100.0 * (result["value"] - prev["value"]) / prev["value"]
+    flag = delta_pct < -threshold_pct
+    print(
+        f"[bench] headline vs BENCH_r{prev['_round']:02d}: "
+        f"{prev['value']:.2f} -> {result['value']:.2f} steps/s/chip "
+        f"({delta_pct:+.2f}%)"
+        + (f"  ** REGRESSION > {threshold_pct}% **" if flag else ""),
+        file=sys.stderr,
+    )
+    for name, row in (result.get("rows") or {}).items():
+        prow = (prev.get("rows") or {}).get(name)
+        if not isinstance(prow, dict) or not isinstance(row, dict):
+            continue
+        for k in ("steps_per_sec", "seconds"):
+            if k in row and k in prow and prow[k]:
+                d = 100.0 * (row[k] - prow[k]) / prow[k]
+                print(f"[bench]   {name}.{k}: {prow[k]} -> {row[k]} "
+                      f"({d:+.1f}%)", file=sys.stderr)
+    return {
+        "prev_round": prev["_round"],
+        "prev_value": prev["value"],
+        "delta_pct": round(delta_pct, 2),
+        "regression": flag,
+    }
 
 
 def _flops_per_step(step_fn, *example_args):
@@ -362,6 +442,10 @@ def main(argv=None):
         "gflops_per_step": round(flops / 1e9, 1) if np.isfinite(flops) else None,
         "rows": rows,
     }
+    if not args.bf16:
+        # PEAK_F32 assumes exactly-half MXU rate — see its comment
+        result["mfu_approx"] = True
+    result.update(_regression_check(result))
     print(json.dumps(result))
     return result
 

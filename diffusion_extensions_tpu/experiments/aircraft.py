@@ -76,7 +76,13 @@ def make_loss_fn(model, process, truepos, so3: bool, aux_weight: float = 0.01):
             if moe:
                 # pull the sown Switch load-balance loss (models/moe.py);
                 # a plain apply() would silently drop it and let the
-                # router collapse onto one expert
+                # router collapse onto one expert.
+                # ASSUMPTION: process.loss calls denoise exactly once,
+                # directly (not under lax.scan/cond/checkpoint) — true for
+                # every process in this repo.  Appending a traced value to
+                # a Python list from inside traced control flow would leak
+                # tracers; if a future loss evaluates the model inside a
+                # scan, return the aux loss through the process instead.
                 out, st = model.apply(params, x, t, mutable=["losses"])
                 aux.append(sum(jax.tree_util.tree_leaves(st["losses"])))
                 return out

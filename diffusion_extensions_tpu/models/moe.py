@@ -72,6 +72,13 @@ class MoEFFN(nn.Module):
         )
 
         # --- capacity-limited dispatch (static shapes) -------------------
+        # NOTE memory/FLOPs of the (T, E, C) one-hot dispatch scale as
+        # T * E * C with C = ceil(T * capacity_factor / E), i.e. O(T^2 *
+        # capacity_factor) independent of E — at T=8192 that is ~335 MB of
+        # f32 per MoE layer and grows quadratically with sequence length.
+        # Fine at this repo's scales (aircraft T=8k); for much longer
+        # sequences chunk the dispatch over token blocks or switch to an
+        # integer scatter (sort-by-expert) dispatch.
         # position of each token within its expert's queue
         pos = jnp.cumsum(onehot, axis=0) * onehot  # (T, E), 1-based
         pos = jnp.sum(pos, axis=-1) - 1.0  # (T,), -1 for impossible

@@ -63,7 +63,11 @@ def make_dp_train_step(
             # branch-free equivalent of the reference's NaN-skip
             # (so3_lock_train.py:83-84): a step whose global loss or grads
             # are non-finite advances step/PRNG but leaves params and
-            # optimizer state untouched
+            # optimizer state untouched.  Divergence from the reference's
+            # `continue`: TrainState.step still advances on a skipped step
+            # (Adam's opt_state count is held), so a step-indexed LR
+            # schedule moves ahead by one on every NaN skip — schedule-
+            # sensitive runs should count skips if exactness matters.
             import optax
 
             ok = jnp.logical_and(

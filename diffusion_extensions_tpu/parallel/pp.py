@@ -71,6 +71,14 @@ def pipeline_apply(
 
     Differentiable: use inside a loss under ``jax.grad``; gradients for
     ``stacked_params`` come back sharded on the pp axis.
+
+    Memory note: every pp stage holds the full ``(M, mb, ...)`` microbatch
+    stack (``micro`` enters the shard_map replicated over pp), so per-stage
+    activation-input memory scales with the *global* batch, and drain ticks
+    recompute clamped feed microbatches whose outputs are discarded.  That
+    partially offsets pipelining's memory benefit for very large batches;
+    if that bites, feed stage 0 from a pp-sharded or host-streamed
+    microbatch source instead of the replicated stack.
     """
     axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
     pp = int(axis_sizes[pp_axis])

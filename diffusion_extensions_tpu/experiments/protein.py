@@ -260,7 +260,8 @@ def test(args):
             if args.sampler == "pf":
                 return process.pf_sample_loop(
                     denoise, k, (args.batch,), num_steps=args.sampler_steps,
-                    projection=proj, method="flow")
+                    projection=proj,
+                    method=getattr(args, "pf_method", "flow"))
             if args.sampler == "picard":
                 return process.parallel_sample_loop(
                     denoise, k, (args.batch,), num_steps=args.sampler_steps,
@@ -392,7 +393,25 @@ def parse_args(argv=None):
                         "transport) chains")
     p.add_argument("--sampler-steps", dest="sampler_steps", type=int,
                    default=50, help="model evals for --sampler ddim/pf")
+    p.add_argument("--pf-method", dest="pf_method",
+                   choices=("flow", "flow-state", "euler", "heun"),
+                   default="flow",
+                   help="--sampler pf variant: 'flow' (prediction-anchored "
+                        "exact transport, production) or the measured-bad "
+                        "research variants (warned at runtime)")
     args = p.parse_args(argv)
+    if args.sampler == "pf" and args.pf_method != "flow":
+        import warnings
+
+        warnings.warn(
+            f"--pf-method {args.pf_method} is a research variant with a "
+            "MEASURED quality defect on SE(3) docking (flow-state: "
+            "re-anchoring tail blowup, rot p99 3.14 / shift p99 33.6 on "
+            "the 240k checkpoint; euler/heun: saturating-score "
+            "under-transport, BENCHMARKS.md 'Probability-flow sampling'). "
+            "Use --pf-method flow or --sampler ddim for production.",
+            stacklevel=1,
+        )
     if args.ckpt is None:
         args.ckpt = f"weights/protein_{'se3' if args.se3 else 'eul'}"
     return args

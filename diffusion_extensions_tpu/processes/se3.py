@@ -403,8 +403,24 @@ class SE3Diffusion:
         measured limitation as on SO(3): the saturating large-eps score
         under-transports continuous concentrated targets; use "flow" in
         production.
+
+        Round-4 fix (VERDICT r3 item 5): ``"flow"`` now anchors the
+        transported noise block on the MODEL'S prediction (theta =
+        eps_t * |v_hat|, axis = v_hat) instead of reading it back from the
+        state as log(anchor^-1 x).  The two are identical in exact
+        arithmetic (predict_start_from_noise inverts q_sample), but the
+        read-back form lets x0-hat re-anchoring errors persist in the
+        state forever and, for hard poses, drives theta into the pi wrap
+        of log_rmat where rank transport is absorbing (F_eps(pi)=1 ->
+        Q_eps'(1)=pi at every later step) — measured as rot p99 = 3.14 /
+        shift p99 = 33.6 on the 240k docking checkpoint.  The
+        prediction-anchored form is self-correcting the same way DDIM is
+        (the state only enters through the denoiser), while keeping the
+        exact radial quantile transport that beats DDIM's linear rescale
+        on SO(3) marginals.  The old read-back variant is kept as
+        ``method="flow-state"`` for A/B evidence.
         """
-        if method not in ("flow", "euler", "heun"):
+        if method not in ("flow", "flow-state", "euler", "heun"):
             raise ValueError(f"Unexpected pf method: {method}")
         from ..ops.igso3 import igso3_score_vec
 
@@ -457,6 +473,14 @@ class SE3Diffusion:
             )
 
         def flow_step(x, i):
+            # method="flow": prediction-anchored exact transport (see the
+            # docstring) — the noise block comes from the model's predicted
+            # unit noise (v_hat, z_hat), so the state feeds back only
+            # through the denoiser, exactly like DDIM; the rotation radius
+            # still moves by the exact IGSO(3) quantile transport.
+            # method="flow-state": the round-3 read-back variant (noise
+            # block = log(anchor^-1 x) / state shift residual), kept for
+            # the measured A/B of its re-anchoring tail blowup.
             t = jnp.full((b,), ts[i], dtype=jnp.int32)
             t_prev = jnp.full((b,), ts[i + 1], dtype=jnp.int32)
             x_in = projection(x) if projection is not None else x
@@ -465,14 +489,29 @@ class SE3Diffusion:
             acp = extract(s.sqrt_alphas_cumprod, t)
             eps_t = extract(s.sqrt_one_minus_alphas_cumprod, t)
             eps_p = extract(s.sqrt_one_minus_alphas_cumprod, t_prev)
-            rot_anchor = so3_scale(x_recon.rot, acp)
-            vrel = log_rmat_vec(rmul(jnp.swapaxes(rot_anchor, -1, -2), x.rot))
+            if method == "flow-state":
+                rot_anchor = so3_scale(x_recon.rot, acp)
+                vrel = log_rmat_vec(
+                    rmul(jnp.swapaxes(rot_anchor, -1, -2), x.rot)
+                )
+                resid = x.shift - acp[..., None] * x_recon.shift
+                resid_p = resid * (
+                    eps_p / jnp.maximum(eps_t, 1e-12)
+                )[..., None]
+            else:
+                vrel = pred.rot_g * eps_t[..., None]
+                # Gaussian quantile transport of the predicted shift
+                # residual eps_t*scale*z_hat is the linear rescale — lands
+                # exactly on the DDIM shift bridge, now coupled to the
+                # same x0-hat anchor as the rotation block
+                resid_p = (eps_p[..., None] * self.shift_scale) * pred.shift_g
             theta = jnp.linalg.norm(vrel, axis=-1)
             axis = vrel / jnp.maximum(theta, 1e-12)[..., None]
+            # q_table domain is [0, pi); a bad early prediction can push
+            # eps_t*|v_hat| past the wrap — clamp instead of wrapping
+            theta = jnp.minimum(theta, jnp.float32(jnp.pi - 1e-4))
             theta_p = self.q_table.transport_angles(theta, t, t_prev)
             rel_p = exp_skewvec(axis * theta_p[..., None])
-            resid = x.shift - acp[..., None] * x_recon.shift
-            resid_p = resid * (eps_p / jnp.maximum(eps_t, 1e-12))[..., None]
             x_new = assemble(x_recon, rel_p, resid_p, t_prev)
             hold = (t_prev == t)
             x_new = AffineT(
@@ -520,7 +559,9 @@ class SE3Diffusion:
             return x_new, None
 
         x, _ = jax.lax.scan(
-            flow_step if method == "flow" else step, x0, jnp.arange(num_steps)
+            flow_step if method in ("flow", "flow-state") else step,
+            x0,
+            jnp.arange(num_steps),
         )
         t0 = jnp.zeros((b,), dtype=jnp.int32)
         x_in = projection(x) if projection is not None else x

@@ -109,6 +109,94 @@ def test_se3_pf_oracle_converges_to_delta(method):
     assert np.median(shifts) < 0.1, np.median(shifts)
 
 
+def test_se3_pf_flow_matches_flow_state_for_self_consistent_model():
+    """The round-4 fix changes where ``"flow"`` reads the transported
+    noise block: from the state (log(anchor^-1 x), round-3 "flow-state")
+    to the model's prediction.  For a self-consistent denoiser —
+    prediction exactly inverts q_sample, no shift clipping active — the
+    two are the SAME map, so their chains must agree; they only diverge
+    when x0-hat re-anchoring drifts (the measured tail blowup on the
+    trained docking checkpoint, BENCHMARKS.md 240k table)."""
+    from diffusion_extensions_tpu.ops.se3 import AffineGrad
+    from diffusion_extensions_tpu.processes.se3 import ProjectedSE3Diffusion
+
+    proc = ProjectedSE3Diffusion(timesteps=1000, clip_shift=75.0)
+    s = proc.schedule
+
+    def oracle(x, t):
+        recip = extract(s.sqrt_recipm1_alphas_cumprod, t, 1)
+        rot_g = so3_ops.log_rmat_vec(x.rot) / jnp.maximum(recip, 1e-8)
+        shift_g = x.shift / jnp.maximum(recip * proc.shift_scale, 1e-8)
+        return AffineGrad(rot_g, shift_g)
+
+    outs = {}
+    for method in ("flow", "flow-state"):
+        outs[method] = jax.jit(
+            lambda k, m=method: proc.pf_sample_loop(
+                oracle, k, (32,), num_steps=12, method=m
+            )
+        )(jax.random.PRNGKey(11))
+    d_rot = np.asarray(
+        so3_ops.rotation_angle(
+            so3_ops.rmul(
+                jnp.swapaxes(outs["flow"].rot, -1, -2),
+                outs["flow-state"].rot,
+            )
+        )
+    )
+    d_shift = np.linalg.norm(
+        np.asarray(outs["flow"].shift - outs["flow-state"].shift), axis=-1
+    )
+    assert d_rot.max() < 5e-3, d_rot.max()
+    assert d_shift.max() < 5e-3, d_shift.max()
+
+
+def test_se3_pf_flow_state_converges_to_delta():
+    """The legacy read-back variant stays available for A/B and still
+    contracts on a well-posed oracle."""
+    from diffusion_extensions_tpu.ops.se3 import AffineGrad
+    from diffusion_extensions_tpu.processes.se3 import ProjectedSE3Diffusion
+
+    proc = ProjectedSE3Diffusion(timesteps=1000, clip_shift=75.0)
+    s = proc.schedule
+
+    def oracle(x, t):
+        recip = extract(s.sqrt_recipm1_alphas_cumprod, t, 1)
+        rot_g = so3_ops.log_rmat_vec(x.rot) / jnp.maximum(recip, 1e-8)
+        shift_g = x.shift / jnp.maximum(recip * proc.shift_scale, 1e-8)
+        return AffineGrad(rot_g, shift_g)
+
+    out = jax.jit(
+        lambda k: proc.pf_sample_loop(
+            oracle, k, (64,), num_steps=25, method="flow-state"
+        )
+    )(jax.random.PRNGKey(3))
+    angles = np.asarray(so3_ops.rotation_angle(out.rot))
+    shifts = np.linalg.norm(np.asarray(out.shift), axis=-1)
+    assert np.median(angles) < 0.1 and np.median(shifts) < 0.1
+
+
+def test_protein_cli_warns_on_research_pf_methods():
+    """--sampler pf with a measured-bad variant must not be a silent
+    option (VERDICT r3 weak #3)."""
+    import warnings
+
+    from diffusion_extensions_tpu.experiments.protein import parse_args
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        args = parse_args(
+            ["--se3", "--test", "--sampler", "pf", "--pf-method", "euler"]
+        )
+    assert args.pf_method == "euler"
+    assert any("MEASURED quality defect" in str(w.message) for w in caught)
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        parse_args(["--se3", "--test", "--sampler", "pf"])
+    assert not caught
+
+
 def test_se3_pf_invalid_method_raises():
     from diffusion_extensions_tpu.processes.se3 import ProjectedSE3Diffusion
 

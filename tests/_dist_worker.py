@@ -24,6 +24,7 @@ import jax  # noqa: E402
 # programmatically (env alone is overridden), like tests/conftest.py
 jax.config.update("jax_platforms", "cpu")
 
+import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 import optax  # noqa: E402
 
@@ -80,6 +81,61 @@ def main():
     w = np.asarray(new_state.params["w"].addressable_data(0))
     print(f"OK pid={pid} loss={loss:.6f} wsum={float(np.sum(w)):.6f}",
           flush=True)
+
+    # ---- phase 2 (VERDICT r3 item 7): a GSPMD mesh whose tp axis SPANS
+    # the process boundary.  Global device order is proc0's 4 then
+    # proc1's 4; axes [("tp", 2), ("dp", 4)] make tp the slow axis, so
+    # each tp pair is {proc0_dev_i, proc1_dev_i} — the tensor-parallel
+    # all-gather/reduce runs across processes, the collective path a
+    # multi-host pod actually exercises (not just dp's gradient pmean).
+    from diffusion_extensions_tpu.parallel.gspmd import (
+        make_gspmd_train_step,
+    )
+    from diffusion_extensions_tpu.parallel.mesh import make_mesh as mk
+
+    mesh_tp = mk(axes=[("tp", 2), ("dp", 4)])
+    tp_rows = mesh_tp.devices  # (2, 4) device array
+    assert (
+        tp_rows[0, 0].process_index != tp_rows[1, 0].process_index
+    ), "tp axis does not span the process boundary"
+
+    def loss_tp(params, key, batch):
+        h = np.float32(1.0) * jnp.tanh(batch @ params["w1"])
+        pred = h @ params["w2"]
+        return ((pred - 1.0) ** 2).mean()
+
+    rng = np.random.RandomState(0)
+    params_tp = {
+        "w1": rng.randn(8, 64).astype(np.float32) * 0.1,
+        "w2": rng.randn(64, 8).astype(np.float32) * 0.1,
+    }
+    tx2 = optax.adam(1e-2)
+    state_tp = TrainState.create(params_tp, tx2, jax.random.PRNGKey(1))
+    state_tp = jax.tree_util.tree_map(np.asarray, state_tp)
+    step_tp = make_gspmd_train_step(loss_tp, tx2, mesh_tp, donate=False)
+
+    # dp shards live inside each tp row, so every process's addressable
+    # devices cover ALL dp indices: local data = the full global batch
+    global_b2 = (
+        np.arange(8 * 8, dtype=np.float32).reshape(8, 8) / 32.0 - 1.0
+    )
+    batch2 = jax.make_array_from_process_local_data(
+        NamedSharding(mesh_tp, P("dp")), global_b2, global_shape=(8, 8)
+    )
+    state_tp, m1 = step_tp(state_tp, batch2)
+    state_tp, m2 = step_tp(state_tp, batch2)
+    l1, l2 = float(m1["loss"]), float(m2["loss"])
+    assert np.isfinite(l1) and np.isfinite(l2)
+    # w1 is tp-sharded on its output dim: this process holds a 32-column
+    # half; the parent asserts the halves are complementary and that the
+    # cross-process step actually learned (loss2 < loss1)
+    w1_local = np.asarray(state_tp.params["w1"].addressable_data(0))
+    assert w1_local.shape == (8, 32), w1_local.shape
+    print(
+        f"OKTP pid={pid} loss1={l1:.6f} loss2={l2:.6f} "
+        f"w1sum={float(np.sum(w1_local)):.6f}",
+        flush=True,
+    )
 
 
 if __name__ == "__main__":

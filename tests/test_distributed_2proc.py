@@ -69,3 +69,22 @@ def test_two_process_rendezvous_and_dp_step():
     assert field(outs[0], "wsum") == pytest.approx(field(outs[1], "wsum"))
     # and the update actually moved the params (8 * 0.5 * ... != initial 4)
     assert not np.isclose(field(outs[0], "wsum"), 4.0)
+
+    # phase 2: tp axis spanning the process boundary (GSPMD collectives
+    # across processes, not just dp's gradient pmean)
+    def tp_field(out, name):
+        line = [l for l in out.splitlines() if l.startswith("OKTP")][0]
+        return float(dict(kv.split("=") for kv in line.split()[1:])[name])
+
+    for out in outs:
+        assert "OKTP pid=" in out, out
+    # the replicated loss agrees across processes at both steps...
+    assert tp_field(outs[0], "loss1") == pytest.approx(tp_field(outs[1], "loss1"))
+    assert tp_field(outs[0], "loss2") == pytest.approx(tp_field(outs[1], "loss2"))
+    # ...the cross-process tp step learns...
+    assert tp_field(outs[0], "loss2") < tp_field(outs[0], "loss1")
+    # ...and each process holds a DIFFERENT half of the tp-sharded kernel
+    # (complementary shards, not replicas)
+    assert tp_field(outs[0], "w1sum") != pytest.approx(
+        tp_field(outs[1], "w1sum"), abs=1e-9
+    )

@@ -309,6 +309,11 @@ class TransformerEncoder(nn.Module):
     reference has to ``logical_not`` at every call site,
     ``models.py:290,308``).
 
+    ``attn_mask``: full boolean attention mask broadcastable to
+    (B, heads, Lq, Lk), True = attend.  Overrides ``key_padding_mask``;
+    used to run several independent sequences through ONE encoder call
+    with a block-diagonal mask (ProtNet's fused receptor+ligand pass).
+
     ``dtype``: activation dtype for the attention/FFN matmuls — pass
     jnp.bfloat16 to run the MXU-heavy path in bf16 (LayerNorms and the
     residual stream stay float32).
@@ -325,9 +330,12 @@ class TransformerEncoder(nn.Module):
     moe_experts: int = 0
 
     @nn.compact
-    def __call__(self, x, key_padding_mask=None, deterministic: bool = True):
+    def __call__(self, x, key_padding_mask=None, deterministic: bool = True,
+                 attn_mask=None):
         mask = None
-        if key_padding_mask is not None:
+        if attn_mask is not None:
+            mask = attn_mask
+        elif key_padding_mask is not None:
             # (B, 1, 1, L) — broadcast over heads and query positions.
             mask = key_padding_mask[:, None, None, :]
         for _ in range(self.layers):

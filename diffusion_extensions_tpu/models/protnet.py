@@ -41,18 +41,33 @@ RES_COUNT = len(UNIQUE_RESIDUES)
 
 class _ResConv(nn.Module):
     """1-D conv residue embedding block (reference: ``models.py:227-257``):
-    res_count -> dim, (c_depth-2) residual conv+SiLU blocks, dim -> res_dim."""
+    res_count -> dim, (c_depth-2) residual conv+SiLU blocks, dim -> res_dim.
+
+    ``dtype``: activation dtype for the convs.  At the reference config
+    (c_depth 8, dim 1024) this stack is ~16% of the train step's FLOPs;
+    running it f32 while the encoders run bf16 costs ~2x on those FLOPs
+    on the MXU (measured round-4 MFU work, BENCHMARKS.md protein roofline).
+    Params stay f32; the output is cast back to f32 for the concat."""
 
     dim: int
     res_dim: int
     c_depth: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:  # (B, L, RES_COUNT)
-        h = nn.silu(nn.Conv(self.dim, kernel_size=(3,), padding="SAME")(x))
+        h = nn.silu(
+            nn.Conv(self.dim, kernel_size=(3,), padding="SAME",
+                    dtype=self.dtype)(x)
+        )
         for _ in range(self.c_depth - 2):
-            h = h + nn.silu(nn.Conv(self.dim, kernel_size=(3,), padding="SAME")(h))
-        return nn.Conv(self.res_dim, kernel_size=(3,), padding="SAME")(h)
+            h = h + nn.silu(
+                nn.Conv(self.dim, kernel_size=(3,), padding="SAME",
+                        dtype=self.dtype)(h)
+            )
+        out = nn.Conv(self.res_dim, kernel_size=(3,), padding="SAME",
+                      dtype=self.dtype)(h)
+        return out.astype(jnp.float32)
 
 
 def receptor_moment_frame(w: jax.Array, positions: jax.Array,
@@ -153,6 +168,19 @@ class ProtNet(nn.Module):
     # canonical-pose task the round-2 frame-pool arm already solved
     # (BENCHMARKS.md protein section).  Off by default
     equiv_head: bool = False
+    # run receptor+ligand through ONE encoder call with a block-diagonal
+    # attention mask instead of two calls (only meaningful with
+    # share_encoders, where it is the same function: per-token FFN/LN are
+    # position-independent and the block mask reproduces the two separate
+    # attentions exactly — parity-tested).  One (B*(Lr+Ll), dim) matmul
+    # batch feeds the MXU better than (B*Lr)+(B*Ll) halves and halves the
+    # number of encoder dispatches; the extra masked cross-chain attention
+    # scores are noise-level FLOPs at these lengths.  On by default
+    fuse_chains: bool = True
+    # fused single-(dim, 3*dim) QKV projection in the self-attention
+    # (FusedSelfAttention); measured per-config — see
+    # TransformerEncoderLayer docstring
+    fused_qkv: bool = False
 
     @nn.compact
     def __call__(self, x: ProtBatch, t: jax.Array, deterministic: bool = True):
@@ -165,19 +193,21 @@ class ProtNet(nn.Module):
         time_embed = SinusoidalPosEmb(dim)(t)  # (B, dim)
         pos_emb = Siren(pos_dim, scale=0.1)
         ang_emb = Siren(ang_dim)
-        res_conv = _ResConv(dim, res_dim, self.c_depth)
+        res_conv = _ResConv(dim, res_dim, self.c_depth, dtype=act_dtype)
         rec_tf = TransformerEncoder(
             dim, self.heads, self.t_depth, dropout=self.dropout,
-            final_norm=True, dtype=act_dtype,
+            final_norm=True, dtype=act_dtype, fused_qkv=self.fused_qkv,
         )
         lig_tf = rec_tf if self.share_encoders else TransformerEncoder(
             dim, self.heads, self.t_depth, dropout=self.dropout,
-            final_norm=True, dtype=act_dtype,
+            final_norm=True, dtype=act_dtype, fused_qkv=self.fused_qkv,
         )
 
-        def encode(prot: ProtData, mask: jax.Array, tf: TransformerEncoder):
+        def embed(prot: ProtData) -> jax.Array:
+            # per-chain token embedding; the residue conv is k=3 over the
+            # sequence, so chains must NOT be concatenated before it
             ang_flat = prot.angles.reshape(*prot.angles.shape[:-2], 9)
-            feats = jnp.concatenate(
+            return jnp.concatenate(
                 (
                     res_conv(prot.residues),
                     pos_emb(prot.positions),
@@ -185,10 +215,34 @@ class ProtNet(nn.Module):
                 ),
                 axis=-1,
             )  # (B, L, dim)
-            return tf(feats, key_padding_mask=mask, deterministic=deterministic)
 
-        r_out = encode(x.receptor, x.receptor_mask, rec_tf).astype(jnp.float32)
-        l_out = encode(x.ligand, x.ligand_mask, lig_tf).astype(jnp.float32)
+        r_feats = embed(x.receptor)
+        l_feats = embed(x.ligand)
+        if self.share_encoders and self.fuse_chains:
+            # one encoder pass over both chains, block-diagonal attention
+            lr, ll = r_feats.shape[1], l_feats.shape[1]
+            feats = jnp.concatenate((r_feats, l_feats), axis=1)
+            valid = jnp.concatenate(
+                (x.receptor_mask, x.ligand_mask), axis=1
+            )  # (B, Lr+Ll)
+            seg = jnp.concatenate(
+                (jnp.zeros((lr,), jnp.int32), jnp.ones((ll,), jnp.int32))
+            )
+            block = seg[None, :] == seg[:, None]  # (L, L) static
+            attn_mask = block[None, None] & valid[:, None, None, :]
+            out = rec_tf(
+                feats, deterministic=deterministic, attn_mask=attn_mask
+            ).astype(jnp.float32)
+            r_out, l_out = out[:, :lr], out[:, lr:]
+        else:
+            r_out = rec_tf(
+                r_feats, key_padding_mask=x.receptor_mask,
+                deterministic=deterministic,
+            ).astype(jnp.float32)
+            l_out = lig_tf(
+                l_feats, key_padding_mask=x.ligand_mask,
+                deterministic=deterministic,
+            ).astype(jnp.float32)
 
         # bidirectional co-attention: both updates read the PRE-round
         # tensors, then swap in together

@@ -184,18 +184,21 @@ def _time_calls(fn, args_fn, n_calls, warmup):
     return time.perf_counter() - t0
 
 
-def bench_aircraft(args, n_chips):
+def bench_aircraft(args, n_chips, moe_experts=0):
     model = PlaneNet(
-        dim=args.dim, heads=args.heads, layers=args.layers, bf16=args.bf16
+        dim=args.dim, heads=args.heads, layers=args.layers, bf16=args.bf16,
+        moe_experts=moe_experts,
     )
     process = ProjectedSO3Diffusion(timesteps=1000)
     truepos = jnp.broadcast_to(jnp.eye(3), (args.batch, 3, 3))
     key = jax.random.PRNGKey(0)
-    params = model.init(
-        key,
-        jnp.zeros((args.batch, args.samples, 3)),
-        jnp.zeros((args.batch,), jnp.int32),
-    )
+    params = {
+        "params": model.init(
+            key,
+            jnp.zeros((args.batch, args.samples, 3)),
+            jnp.zeros((args.batch,), jnp.int32),
+        )["params"]
+    }
     tx = optax.adam(1e-4)
     state = TrainState.create(params, tx, key)
     mesh = make_mesh()
@@ -419,6 +422,18 @@ def main(argv=None):
                 "mfu": round(pmfu, 4) if pmfu is not None else None,
                 "gflops_per_step": round(pflops / 1e9, 1),
             }
+        # EP-family row (VERDICT r3 item 3): the same aircraft step with a
+        # 4-expert Switch-MoE FFN — matched per-token FLOPs to the dense
+        # headline (top-1 routing), so the delta is routing/dispatch cost
+        moe_sps, moe_mfu, moe_flops = bench_aircraft(
+            args, n_chips, moe_experts=4
+        )
+        rows["moe_train_e4"] = {
+            "steps_per_sec": round(moe_sps, 2),
+            "mfu": round(moe_mfu, 4) if moe_mfu is not None else None,
+            "gflops_per_step": round(moe_flops / 1e9, 1)
+            if np.isfinite(moe_flops) else None,
+        }
         rows["bingham_train"] = {
             "steps_per_sec": round(bench_bingham(args.quick), 1)
         }

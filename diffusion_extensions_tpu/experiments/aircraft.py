@@ -195,6 +195,19 @@ def train(args):
         pred = model.apply(params, proj_x_noisy_v, t_v)
         return jnp.mean((pred - target_v) ** 2)
 
+    expert_fracs = None
+    if getattr(model, "moe_experts", 0) > 0:
+        # per-layer expert token fractions on the frozen probe — the
+        # load-balance / utilization trace for the MoE arm (sown into the
+        # "diag" collection by models/moe.py)
+        @jax.jit
+        def expert_fracs(params):
+            _, st = model.apply(
+                params, proj_x_noisy_v, t_v, mutable=["losses", "diag"]
+            )
+            rows = jax.tree_util.tree_leaves(st.get("diag", {}))
+            return jnp.stack(rows) if rows else jnp.zeros((0,))
+
     logger = MetricLogger(jsonl_path=args.log, print_every=args.print_every)
     meter = Throughput()
     profile_step = None
@@ -214,14 +227,19 @@ def train(args):
             meter.tick()
         i = i + K - 1
         if (i + 1) % args.print_every == 0:
-            logger.log(
-                i + 1,
-                {
-                    **metrics,
-                    "test_loss": val_loss(state.params),
-                    "steps_per_sec": meter.steps_per_sec or float("nan"),
-                },
-            )
+            row = {
+                **metrics,
+                "test_loss": val_loss(state.params),
+                "steps_per_sec": meter.steps_per_sec or float("nan"),
+            }
+            if expert_fracs is not None:
+                fr = np.asarray(expert_fracs(state.params))  # (layers, E)
+                row["expert_frac_min"] = float(fr.min())
+                row["expert_frac_max"] = float(fr.max())
+                row["expert_fracs"] = [
+                    [round(float(v), 4) for v in layer] for layer in fr
+                ]
+            logger.log(i + 1, row)
         if (i + 1) % args.ckpt_every == 0 or (i + 1) == args.steps:
             save_checkpoint(args.ckpt, state)
     if hasattr(loader, "close"):

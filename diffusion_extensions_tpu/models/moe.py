@@ -70,6 +70,10 @@ class MoEFFN(nn.Module):
         self.sow(
             "losses", "load_balance", e * jnp.sum(frac_tokens * frac_probs)
         )
+        # per-expert token fractions for load-balance observability
+        # (separate collection so the aux-loss sum never picks it up; a
+        # plain apply without mutable=["diag"] makes this a no-op)
+        self.sow("diag", "expert_frac", frac_tokens)
 
         # --- capacity-limited dispatch (static shapes) -------------------
         # NOTE memory/FLOPs of the (T, E, C) one-hot dispatch scale as

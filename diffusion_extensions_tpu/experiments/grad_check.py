@@ -25,6 +25,11 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=2000)
     p.add_argument("--lr", type=float, default=1e-2)
+    p.add_argument("--obj3d-dir", dest="obj3d_dir", type=str, default=None,
+                   help="write the projected cloud and optimised gradient "
+                        "endpoints as PLY point clouds here (offline "
+                        "equivalent of the reference's wandb.Object3D "
+                        "logging, grad_test.py:86-112)")
     args = p.parse_args(argv)
 
     data = jnp.asarray(synthetic_planes(1, points=512, seed=0))  # (1, N, 3)
@@ -99,6 +104,26 @@ def main(argv=None):
         f"gradient-field optimisation did not improve: {first} -> {float(loss)}"
     )
     print(f"grad check passed: loss {first:.4f} -> {float(loss):.4f}")
+
+    if args.obj3d_dir:
+        import os
+
+        import numpy as np
+
+        from ..viz.obj3d import save_point_cloud_ply
+
+        cloud = np.asarray(proj_data[0])
+        grad_tips = cloud + np.asarray(pred_grads[0])
+        save_point_cloud_ply(
+            os.path.join(args.obj3d_dir, "projected_cloud.ply"),
+            cloud, colors=np.array([[0.2, 0.4, 1.0]]),
+        )
+        save_point_cloud_ply(
+            os.path.join(args.obj3d_dir, "grad_field_tips.ply"),
+            grad_tips, colors=np.array([[1.0, 0.3, 0.2]]),
+        )
+        print(f"obj3d: wrote projected_cloud.ply / grad_field_tips.ply "
+              f"under {args.obj3d_dir}")
 
 
 if __name__ == "__main__":

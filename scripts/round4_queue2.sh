@@ -64,6 +64,13 @@ run_once 900 results/protein_roofline_b4.log \
 run_once 900 results/bench_r4_quick.log \
   bash -c "python -u bench.py --quick 2>&1 | tee results/bench_r4_quick.log"
 
+# 3b) eval-vs-budget point: the 650k snapshot taken before orbax's
+#     keep-3 retention deleted it (200k row already recorded in r3)
+run_once 1800 results/aircraft_so3_650k_eval.log \
+  bash -c "python -u -m diffusion_extensions_tpu.experiments.aircraft --so3 \
+    --bf16 --test --max-shapes 128 --ckpt weights/aircraft_so3_snap \
+    2>&1 | tee results/aircraft_so3_650k_eval.log"
+
 # 4) MoE arm (50k, 4 experts) + dense control (50k), same seed/cadence
 run_training results/aircraft_moe4_train.jsonl 10 \
   python -u -m diffusion_extensions_tpu.experiments.aircraft --so3 \

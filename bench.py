@@ -460,6 +460,12 @@ def main(argv=None):
     if not args.bf16:
         # PEAK_F32 assumes exactly-half MXU rate — see its comment
         result["mfu_approx"] = True
+    if args.quick:
+        # quick-mode measurements are short (observed up to ~5% headline /
+        # ~50% secondary-row swing vs the calibrated run on the tunneled
+        # relay — round-4 part-1 data); mark the record so a quick line is
+        # never taken as the round's calibrated BENCH result
+        result["quick"] = True
     result.update(_regression_check(result))
     print(json.dumps(result))
     return result

@@ -33,6 +33,7 @@ from ..parallel.mesh import make_mesh
 from ..processes.r3 import ProjectedGaussianDiffusion
 from ..processes.so3 import ProjectedSO3Diffusion
 from ..train.loop import MetricLogger, Throughput
+from ..train.optim import add_optim_flags, make_optimizer
 from ..train.state import TrainState, restore_checkpoint, save_checkpoint
 
 SAMPLES_PER_SHAPE = 8  # aircraft_test.py:9
@@ -108,7 +109,10 @@ def train(args):
     params = {"params": model.init(init_key, x_init, t_init)["params"]}
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     print(f"PlaneNet params: {n_params/1e6:.2f}M")
-    tx = optax.adam(args.lr)
+    tx = make_optimizer(
+        args.lr, clip=args.clip, schedule=args.lr_schedule,
+        total_steps=args.steps,
+    )
     state = TrainState.create(params, tx, key)
     if args.resume:
         state = restore_checkpoint(args.ckpt, state)
@@ -259,7 +263,12 @@ def test(args):
             jnp.zeros((1,), jnp.int32),
         )["params"]
     }
-    tx = optax.adam(args.lr)
+    # same tx as train(): the opt-state pytree structure must match the
+    # checkpoint for orbax restore
+    tx = make_optimizer(
+        args.lr, clip=args.clip, schedule=args.lr_schedule,
+        total_steps=args.steps,
+    )
     state = restore_checkpoint(args.ckpt, TrainState.create(params, tx, key))
     if int(state.step) == 0:
         print("warning: no checkpoint found; evaluating untrained model")
@@ -352,6 +361,7 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description="Aircraft rotation args")
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--lr", type=float, default=1e-4)
+    add_optim_flags(p)
     p.add_argument("--samples", type=int, default=256)
     p.add_argument("--dim", type=int, default=512)
     p.add_argument("--heads", type=int, default=4)

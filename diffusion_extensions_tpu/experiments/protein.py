@@ -42,6 +42,7 @@ from ..ops.so3 import euler_to_rmat, rmat_to_aa
 from ..processes.euler import ProjectedEulerDiffusion
 from ..processes.se3 import ProjectedSE3Diffusion
 from ..train.loop import MetricLogger, Throughput
+from ..train.optim import add_optim_flags, make_optimizer
 from ..train.state import TrainState, restore_checkpoint, save_checkpoint
 
 AUGMENT = True  # prot_train.py:10
@@ -135,7 +136,10 @@ def train(args):
     )
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     print(f"ProtNet params: {n_params/1e6:.2f}M")
-    tx = optax.adam(args.lr)
+    tx = make_optimizer(
+        args.lr, clip=args.clip, schedule=args.lr_schedule,
+        total_steps=args.steps,
+    )
     state = TrainState.create(params, tx, key)
     if args.resume:
         state = restore_checkpoint(args.ckpt, state)
@@ -239,7 +243,15 @@ def test(args):
     key = jax.random.PRNGKey(args.seed)
     params = model.init(key, example, jnp.zeros((args.batch,), jnp.int32))
     state = restore_checkpoint(
-        args.ckpt, TrainState.create(params, optax.adam(args.lr), key)
+        args.ckpt,
+        TrainState.create(
+            params,
+            make_optimizer(
+                args.lr, clip=args.clip, schedule=args.lr_schedule,
+                total_steps=args.steps,
+            ),
+            key,
+        )
     )
     if int(state.step) == 0:
         print("warning: no checkpoint found; evaluating untrained model")
@@ -336,6 +348,7 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description="Protein docking diffusion")
     p.add_argument("--batch", type=int, default=4)  # prot_train.py:21-22
     p.add_argument("--lr", type=float, default=1e-4)
+    add_optim_flags(p)
     p.add_argument("--dim", type=int, default=1024)
     p.add_argument("--heads", type=int, default=8)
     p.add_argument("--t_depth", type=int, default=12)

@@ -39,6 +39,45 @@ UNIQUE_RESIDUES = [
 RES_COUNT = len(UNIQUE_RESIDUES)
 
 
+class _Conv3(nn.Module):
+    """Width-3 SAME 1-D convolution expressed as one MXU matmul.
+
+    ``y[l] = concat(x[l-1], x[l], x[l+1]) @ W + b`` with zero edge padding
+    — bit-for-bit the same math as ``nn.Conv(kernel_size=(3,), "SAME")``
+    with the kernel reshaped ``(3, Cin, Cout) -> (3*Cin, Cout)``, but
+    lowered by XLA as a single ``(B*L, 3*Cin) x (3*Cin, Cout)`` dot
+    instead of a convolution primitive.  Measured on the protein train
+    step (v5e, reference config): XLA's conv lowering for these short
+    sequences runs at ~49 TFLOP/s bf16 while the equivalent dot runs at
+    encoder speed (~130) — see BENCHMARKS.md round-4 protein roofline.
+
+    Param shape stays ``kernel (3, Cin, Cout)`` so nn.Conv checkpoints
+    load unchanged."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:  # (B, L, Cin)
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, cin, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        x = x.astype(self.dtype)
+        zeros = jnp.zeros_like(x[..., :1, :])
+        shifted = jnp.concatenate(
+            [
+                jnp.concatenate([zeros, x[..., :-1, :]], axis=-2),
+                x,
+                jnp.concatenate([x[..., 1:, :], zeros], axis=-2),
+            ],
+            axis=-1,
+        )  # (B, L, 3*Cin)
+        w = kernel.reshape(3 * cin, self.features).astype(self.dtype)
+        return shifted @ w + bias.astype(self.dtype)
+
+
 class _ResConv(nn.Module):
     """1-D conv residue embedding block (reference: ``models.py:227-257``):
     res_count -> dim, (c_depth-2) residual conv+SiLU blocks, dim -> res_dim.
@@ -47,26 +86,35 @@ class _ResConv(nn.Module):
     (c_depth 8, dim 1024) this stack is ~16% of the train step's FLOPs;
     running it f32 while the encoders run bf16 costs ~2x on those FLOPs
     on the MXU (measured round-4 MFU work, BENCHMARKS.md protein roofline).
-    Params stay f32; the output is cast back to f32 for the concat."""
+    Params stay f32; the output is cast back to f32 for the concat.
+
+    ``impl``: "matmul" (default) lowers each width-3 conv as one MXU dot
+    via ``_Conv3``; "xla_conv" keeps the ``nn.Conv`` lowering for A/B.
+    Both share the same param tree (names and shapes)."""
 
     dim: int
     res_dim: int
     c_depth: int
     dtype: jnp.dtype = jnp.float32
+    impl: str = "matmul"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:  # (B, L, RES_COUNT)
-        h = nn.silu(
-            nn.Conv(self.dim, kernel_size=(3,), padding="SAME",
-                    dtype=self.dtype)(x)
-        )
-        for _ in range(self.c_depth - 2):
-            h = h + nn.silu(
-                nn.Conv(self.dim, kernel_size=(3,), padding="SAME",
-                        dtype=self.dtype)(h)
+        names = iter(f"Conv_{i}" for i in range(self.c_depth))
+        if self.impl == "matmul":
+            # explicit names keep the param tree identical to the nn.Conv
+            # path ("Conv_i/kernel|bias", kernel (3, Cin, Cout))
+            conv = lambda feats: _Conv3(feats, dtype=self.dtype,
+                                        name=next(names))
+        else:
+            conv = lambda feats: nn.Conv(
+                feats, kernel_size=(3,), padding="SAME", dtype=self.dtype,
+                name=next(names),
             )
-        out = nn.Conv(self.res_dim, kernel_size=(3,), padding="SAME",
-                      dtype=self.dtype)(h)
+        h = nn.silu(conv(self.dim)(x))
+        for _ in range(self.c_depth - 2):
+            h = h + nn.silu(conv(self.dim)(h))
+        out = conv(self.res_dim)(h)
         return out.astype(jnp.float32)
 
 
@@ -181,6 +229,10 @@ class ProtNet(nn.Module):
     # (FusedSelfAttention); measured per-config — see
     # TransformerEncoderLayer docstring
     fused_qkv: bool = False
+    # residue-conv lowering: "matmul" (default) runs each width-3 conv as
+    # one MXU dot via _Conv3; "xla_conv" keeps the nn.Conv lowering.
+    # Same param tree either way — see _ResConv
+    conv_impl: str = "matmul"
 
     @nn.compact
     def __call__(self, x: ProtBatch, t: jax.Array, deterministic: bool = True):
@@ -193,7 +245,8 @@ class ProtNet(nn.Module):
         time_embed = SinusoidalPosEmb(dim)(t)  # (B, dim)
         pos_emb = Siren(pos_dim, scale=0.1)
         ang_emb = Siren(ang_dim)
-        res_conv = _ResConv(dim, res_dim, self.c_depth, dtype=act_dtype)
+        res_conv = _ResConv(dim, res_dim, self.c_depth, dtype=act_dtype,
+                            impl=self.conv_impl)
         rec_tf = TransformerEncoder(
             dim, self.heads, self.t_depth, dropout=self.dropout,
             final_norm=True, dtype=act_dtype, fused_qkv=self.fused_qkv,

@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 
+@pytest.mark.slow
 def test_so3_toy_train_and_test(tmp_path, capsys):
     from diffusion_extensions_tpu.experiments import so3_toy
 
@@ -22,6 +23,7 @@ def test_so3_toy_train_and_test(tmp_path, capsys):
     assert "percentiles" in out
 
 
+@pytest.mark.slow
 def test_lock_both_params(tmp_path, capsys):
     from diffusion_extensions_tpu.experiments import lock
 
@@ -44,6 +46,7 @@ def test_lock_both_params(tmp_path, capsys):
     assert "axis.y" in out
 
 
+@pytest.mark.slow
 def test_bingham_train(tmp_path):
     from diffusion_extensions_tpu.experiments import bingham
 
@@ -65,6 +68,7 @@ def test_bingham_train(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_aircraft_train_synthetic(tmp_path, capsys):
     from diffusion_extensions_tpu.experiments import aircraft
 

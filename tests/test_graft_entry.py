@@ -18,6 +18,7 @@ def _load():
     return mod
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8(devices, capsys):
     mod = _load()
     mod.dryrun_multichip(8)

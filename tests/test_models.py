@@ -56,6 +56,7 @@ def test_euler_rot_predict():
     assert m.apply(params, x, t).shape == (4, 3)
 
 
+@pytest.mark.slow
 def test_planenet_forward_and_grad():
     m = PlaneNet(dim=64, heads=2, layers=2)
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 3))
@@ -201,6 +202,7 @@ def test_protnet_fused_chain_pass_no_cross_leakage():
         np.testing.assert_allclose(f.shift_g, s.shift_g, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_protnet_fused_qkv_and_bf16_conv_paths_run():
     """Smoke: the fused-QKV attention variant and the bf16 conv stack
     compile and produce finite outputs/grads."""
@@ -407,6 +409,7 @@ def test_equiv_head_frame_algebra():
     )
 
 
+@pytest.mark.slow
 def test_protnet_equiv_head_forward():
     batch = _fake_prot_batch(jax.random.PRNGKey(0))
     m = ProtNet(dim=32, heads=2, t_depth=1, c_depth=3, se3=True,
@@ -469,3 +472,29 @@ def test_receptor_moment_frame_degenerate_grads_finite():
 
     g = jax.grad(f)(jnp.full((1, 6, 2), 0.5))
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_resconv_matmul_matches_xla_conv():
+    """_Conv3 (shift-stack matmul lowering) must be numerically the same
+    conv as nn.Conv(kernel=3, SAME) — same param tree, same outputs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from diffusion_extensions_tpu.models.protnet import _ResConv
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 17, 21))
+    mm = _ResConv(32, 8, 4, impl="matmul")
+    xc = _ResConv(32, 8, 4, impl="xla_conv")
+    params = mm.init(jax.random.PRNGKey(1), x)
+    # identical param tree: the xla_conv path must accept the matmul params
+    y_mm = mm.apply(params, x)
+    y_xc = xc.apply(params, x)
+    np.testing.assert_allclose(
+        np.asarray(y_mm), np.asarray(y_xc), rtol=2e-5, atol=2e-5
+    )
+    # and init from the conv path is interchangeable too
+    params_x = xc.init(jax.random.PRNGKey(1), x)
+    assert (
+        jax.tree_util.tree_structure(params)
+        == jax.tree_util.tree_structure(params_x)
+    )

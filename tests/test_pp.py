@@ -67,6 +67,7 @@ def test_pipeline_matches_sequential(stacked, x, devices, pp, m):
                                rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("dp,pp", [(2, 4), (4, 2)])
 def test_pipeline_composes_with_dp(stacked, x, devices, dp, pp):
     """On a dp x pp mesh the microbatch dim is dp-sharded; outputs and

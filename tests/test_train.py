@@ -195,3 +195,55 @@ def test_dp_skip_nonfinite(devices):
         )
     )
     assert changed, "finite step after a skipped one must update params"
+
+
+def test_make_optimizer_default_is_plain_adam(toy_setup, tmp_path):
+    """clip=0 + const schedule must keep the exact optax.adam opt-state
+    structure so pre-round-4 checkpoints keep restoring."""
+    from diffusion_extensions_tpu.train.optim import make_optimizer
+
+    model, process, params, _ = toy_setup
+    tx_old = optax.adam(1e-3)
+    tx_new = make_optimizer(1e-3)
+    s_old = tx_old.init(params)
+    s_new = tx_new.init(params)
+    assert (
+        jax.tree_util.tree_structure(s_old)
+        == jax.tree_util.tree_structure(s_new)
+    )
+    # and a clipped/cosine optimizer still round-trips its own checkpoint
+    tx = make_optimizer(1e-3, clip=1.0, schedule="cosine", total_steps=100)
+    state = TrainState.create(params, tx, jax.random.PRNGKey(0))
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    state = state.apply_gradients(tx, grads, jax.random.PRNGKey(1))
+    save_checkpoint(str(tmp_path / "ck"), state)
+    restored = restore_checkpoint(
+        str(tmp_path / "ck"), TrainState.create(params, tx, jax.random.PRNGKey(0))
+    )
+    assert int(restored.step) == 1
+    chex_close = lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6)
+    jax.tree_util.tree_map(chex_close, restored.params, state.params)
+
+
+def test_make_optimizer_clip_and_decay_behave():
+    from diffusion_extensions_tpu.train.optim import make_optimizer
+
+    params = {"w": jnp.ones((4,))}
+    # clip>0 wraps adam in a chain (observable in the opt-state structure);
+    # adam itself is scale-invariant so the clip is only visible upstream
+    tx = make_optimizer(1.0, clip=1e-3)
+    st = tx.init(params)
+    assert len(st) == 2  # (ClipByGlobalNorm EmptyState, adam state)
+    upd, _ = tx.update({"w": jnp.full((4,), 1e6)}, st, params)
+    assert all(np.isfinite(np.asarray(v)).all() for v in upd.values())
+    # cosine schedule: late update is ~final_frac of the early one
+    tx = make_optimizer(1.0, schedule="cosine", total_steps=10, final_frac=0.1)
+    st = tx.init(params)
+    g = {"w": jnp.ones((4,))}
+    first = None
+    for i in range(10):
+        upd, st = tx.update(g, st, params)
+        if i == 0:
+            first = float(jnp.abs(upd["w"]).max())
+    last = float(jnp.abs(upd["w"]).max())
+    assert last < 0.2 * first

@@ -71,8 +71,8 @@ def time_fn(fn, *args, n=30, warmup=5):
     return (time.perf_counter() - t0) / n
 
 
-def build(batch, fuse_chains=True, fused_qkv=False, dim=1024, t_depth=12,
-          c_depth=8, heads=8):
+def build(batch, fuse_chains=True, fused_qkv=False, conv_impl="matmul",
+          dim=1024, t_depth=12, c_depth=8, heads=8):
     rng = np.random.default_rng(0)
     pairs = [synthetic_prot_pair(rng) for _ in range(16)]
     lr = max(p[0].positions.shape[0] for p in pairs)
@@ -81,6 +81,7 @@ def build(batch, fuse_chains=True, fused_qkv=False, dim=1024, t_depth=12,
     model = ProtNet(
         dim=dim, heads=heads, t_depth=t_depth, c_depth=c_depth, se3=True,
         bf16=True, fuse_chains=fuse_chains, fused_qkv=fused_qkv,
+        conv_impl=conv_impl,
     )
     process = ProjectedSE3Diffusion(timesteps=1000)
     key = jax.random.PRNGKey(0)
@@ -143,10 +144,13 @@ def main():
     enc_params = enc.init(jax.random.PRNGKey(1), feats)
     enc_fwd = lambda p, x: enc.apply(p, x)
 
-    conv = _ResConv(dim, max(dim // 4, 8), args.c_depth, dtype=jnp.bfloat16)
     res_in = jnp.zeros((b, lr, 21), jnp.float32)
+    conv = _ResConv(dim, max(dim // 4, 8), args.c_depth, dtype=jnp.bfloat16)
     conv_params = conv.init(jax.random.PRNGKey(2), res_in)
     conv_fwd = lambda p, x: conv.apply(p, x)
+    conv_x = _ResConv(dim, max(dim // 4, 8), args.c_depth,
+                      dtype=jnp.bfloat16, impl="xla_conv")
+    conv_x_fwd = lambda p, x: conv_x.apply(p, x)
 
     rows = {}
     for name, fn, fargs in (
@@ -154,6 +158,7 @@ def main():
         ("model_fwd", fwd, (state.params, pb)),
         ("encoder12_fwd", enc_fwd, (enc_params, feats)),
         ("conv_stack_fwd_rec", conv_fwd, (conv_params, res_in)),
+        ("conv_stack_fwd_rec_xla_conv", conv_x_fwd, (conv_params, res_in)),
     ):
         fl = flops_of(fn, *fargs)
         dt = time_fn(fn, *fargs, n=n, warmup=3)
@@ -170,12 +175,14 @@ def main():
 
     # --- layout A/B -----------------------------------------------------
     ab = {}
-    for tag, fuse, fq in (
-        ("fused_chains", True, False),
-        ("two_pass", False, False),
-        ("fused_chains+fused_qkv", True, True),
+    for tag, fuse, fq, cimpl in (
+        ("fused_chains", True, False, "matmul"),
+        ("two_pass", False, False, "matmul"),
+        ("fused_chains+fused_qkv", True, True, "matmul"),
+        ("xla_conv", True, False, "xla_conv"),
     ):
-        _, pb2, st2, sf2 = build(b, fuse_chains=fuse, fused_qkv=fq, **sizes)
+        _, pb2, st2, sf2 = build(b, fuse_chains=fuse, fused_qkv=fq,
+                                 conv_impl=cimpl, **sizes)
         dt = time_fn(sf2, st2, pb2, n=n, warmup=3)
         fl = flops_of(sf2, st2, pb2)
         ab[tag] = {

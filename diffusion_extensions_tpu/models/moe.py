@@ -44,6 +44,12 @@ class MoEFFN(nn.Module):
     capacity_factor: float = 1.25
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    # "onehot": dispatch/combine as (T, E, C) one-hot einsums — pure MXU
+    #   work, but memory/FLOPs scale O(T^2 * capacity_factor) (see NOTE
+    #   below).  "scatter": slot-indexed scatter/gather — O(T*D) traffic,
+    #   the right choice for long sequences.  Identical routing semantics
+    #   and parameter tree (tests/test_moe.py asserts output parity).
+    dispatch_impl: str = "onehot"
 
     @nn.compact
     def __call__(
@@ -76,30 +82,47 @@ class MoEFFN(nn.Module):
         self.sow("diag", "expert_frac", frac_tokens)
 
         # --- capacity-limited dispatch (static shapes) -------------------
-        # NOTE memory/FLOPs of the (T, E, C) one-hot dispatch scale as
+        # NOTE memory/FLOPs of the "onehot" (T, E, C) dispatch scale as
         # T * E * C with C = ceil(T * capacity_factor / E), i.e. O(T^2 *
         # capacity_factor) independent of E — at T=8192 that is ~335 MB of
         # f32 per MoE layer and grows quadratically with sequence length.
         # Fine at this repo's scales (aircraft T=8k); for much longer
-        # sequences chunk the dispatch over token blocks or switch to an
-        # integer scatter (sort-by-expert) dispatch.
+        # sequences use dispatch_impl="scatter" (O(T*D) slot scatter /
+        # gather, same routing semantics).
         # position of each token within its expert's queue
         pos = jnp.cumsum(onehot, axis=0) * onehot  # (T, E), 1-based
         pos = jnp.sum(pos, axis=-1) - 1.0  # (T,), -1 for impossible
         keep = pos < cap  # over-capacity tokens dropped
         pos = jnp.clip(pos, 0, cap - 1).astype(jnp.int32)
-        # dispatch: (T, E, C) one-hot; combine adds the gate weight
-        dispatch = (
-            onehot[:, :, None]
-            * jax.nn.one_hot(pos, cap, dtype=jnp.float32)[:, None, :]
-            * keep[:, None, None]
-        )
-        combine = dispatch * gate[:, None, None]
-
-        # --- expert FFNs over stacked params (E leading dim) -------------
-        xin = jnp.einsum(
-            "tec,td->ecd", dispatch.astype(self.dtype), tokens.astype(self.dtype)
-        )  # (E, C, D)
+        if self.dispatch_impl == "onehot":
+            # dispatch: (T, E, C) one-hot; combine adds the gate weight
+            dispatch = (
+                onehot[:, :, None]
+                * jax.nn.one_hot(pos, cap, dtype=jnp.float32)[:, None, :]
+                * keep[:, None, None]
+            )
+            xin = jnp.einsum(
+                "tec,td->ecd",
+                dispatch.astype(self.dtype),
+                tokens.astype(self.dtype),
+            )  # (E, C, D)
+        elif self.dispatch_impl == "scatter":
+            # each kept token owns a unique flat slot expert*cap + pos;
+            # dropped tokens get an out-of-range slot and mode="drop"
+            slot = jnp.where(
+                keep, expert.astype(jnp.int32) * cap + pos, e * cap
+            )  # (T,)
+            xin = (
+                jnp.zeros((e * cap, d), self.dtype)
+                .at[slot]
+                .set(tokens.astype(self.dtype), mode="drop")
+                .reshape(e, cap, d)
+            )
+        else:
+            raise ValueError(
+                f"unknown dispatch_impl {self.dispatch_impl!r} "
+                "(expected 'onehot' or 'scatter')"
+            )
         w1 = self.param(
             "w1",
             nn.initializers.lecun_normal(batch_axis=(0,)),
@@ -125,9 +148,19 @@ class MoEFFN(nn.Module):
         h = jnp.einsum("ecf,efd->ecd", h, w2.astype(self.dtype))
         h = h + b2[:, None, :].astype(self.dtype)
 
-        out = jnp.einsum(
-            "tec,ecd->td", combine.astype(self.dtype), h
-        ).astype(jnp.float32)
+        if self.dispatch_impl == "onehot":
+            combine = dispatch * gate[:, None, None]
+            out = jnp.einsum(
+                "tec,ecd->td", combine.astype(self.dtype), h
+            ).astype(jnp.float32)
+        else:
+            # gather each token's expert output from its slot; dropped
+            # tokens read a clipped slot but are masked to zero (matching
+            # the onehot path's zero combine row)
+            out = h.reshape(e * cap, d)[jnp.clip(slot, 0, e * cap - 1)]
+            out = out.astype(jnp.float32) * (
+                gate * keep.astype(jnp.float32)
+            )[:, None]
         return out.reshape(b, n, d)
 
 

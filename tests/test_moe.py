@@ -133,3 +133,30 @@ def test_aircraft_loss_includes_moe_aux():
     )
     assert np.isfinite(float(with_aux)) and np.isfinite(float(no_aux))
     assert float(with_aux) != float(no_aux), "aux loss not included"
+
+
+def test_scatter_dispatch_matches_onehot(x):
+    """dispatch_impl="scatter" (O(T*D) slot scatter/gather) is numerically
+    equivalent to the reference "onehot" (T,E,C) einsum dispatch: same
+    params, same routing, same outputs and gradients — including dropped
+    over-capacity tokens (tight capacity arm)."""
+    for cf in (1.25, 0.25):
+        mo = MoEFFN(D, E, dim_feedforward=64, capacity_factor=cf)
+        ms = MoEFFN(D, E, dim_feedforward=64, capacity_factor=cf,
+                    dispatch_impl="scatter")
+        params = {"params": mo.init(jax.random.PRNGKey(0), x)["params"]}
+        out_o, _ = mo.apply(params, x, mutable=["losses"])
+        out_s, _ = ms.apply(params, x, mutable=["losses"])
+        np.testing.assert_allclose(np.asarray(out_o), np.asarray(out_s),
+                                   rtol=1e-5, atol=1e-6)
+
+        def loss(p, mod):
+            out, _ = mod.apply(p, x, mutable=["losses"])
+            return jnp.sum(out ** 2)
+
+        g_o = jax.grad(loss)(params, mo)
+        g_s = jax.grad(loss)(params, ms)
+        for lo, ls in zip(jax.tree_util.tree_leaves(g_o),
+                          jax.tree_util.tree_leaves(g_s)):
+            np.testing.assert_allclose(np.asarray(lo), np.asarray(ls),
+                                       rtol=1e-4, atol=1e-5)

@@ -37,8 +37,8 @@ run_once () {  # run_once <stall_s> <progress_file> cmd...
   return 42
 }
 
-# 0) wait for queue 3 to finish
-while ! grep -q "QUEUE R4-3 COMPLETE" results/round4_queue3.log; do
+# 0) wait for queue 5 (the stabilized 1M aircraft rerun) to finish
+while ! grep -q "QUEUE R4-5 COMPLETE" results/round4_queue5.log; do
   sleep 60
 done
 bash "$RW"

@@ -36,8 +36,11 @@ run_once () {  # run_once <stall_s> <progress_file> cmd...
   return 42
 }
 
-# 0) wait for queue 4 + the study verdict
-while ! grep -q "QUEUE R4-4 COMPLETE" results/round4_queue4.log; do
+# 0) wait for queue 3 + the study verdict (runs BEFORE the protein queue:
+#    VERDICT ranks the full-budget flagship above the second protein seed,
+#    so it should not sit behind a 100-minute protein retrain if stalls
+#    eat the end of the round)
+while ! grep -q "QUEUE R4-3 COMPLETE" results/round4_queue3.log; do
   sleep 60
 done
 while [ ! -f results/div_winner.flags ]; do sleep 60; done

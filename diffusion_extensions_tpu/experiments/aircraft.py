@@ -55,6 +55,7 @@ def build(args):
     model = PlaneNet(
         dim=args.dim, heads=args.heads, layers=args.layers, bf16=args.bf16,
         moe_experts=getattr(args, "moe_experts", 0),
+        moe_dispatch=getattr(args, "moe_dispatch", "onehot"),
     )
     if args.so3:
         process = ProjectedSO3Diffusion(timesteps=args.timesteps)
@@ -384,6 +385,11 @@ def parse_args(argv=None):
     p.add_argument("--moe-experts", dest="moe_experts", type=int, default=0,
                    help="swap the FFN for a Switch MoE with this many "
                         "experts (ep-shardable, models/moe.py); 0 = dense")
+    p.add_argument("--moe-dispatch", dest="moe_dispatch", default="onehot",
+                   choices=("onehot", "scatter"),
+                   help="MoE token dispatch: one-hot (T,E,C) einsums (MXU "
+                        "work, O(T^2) scaling) or O(T*D) slot scatter; "
+                        "numerically equivalent (tests/test_moe.py)")
     p.add_argument("--log-norms", dest="log_norms", action="store_true",
                    help="log grad/param global norms (wandb.watch equivalent)")
     p.add_argument("--timesteps", type=int, default=1000)

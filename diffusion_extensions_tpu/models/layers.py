@@ -213,6 +213,7 @@ class TransformerEncoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     fused_qkv: bool = False
     moe_experts: int = 0  # >0: Switch MoE FFN with this many experts
+    moe_dispatch: str = "onehot"  # MoEFFN.dispatch_impl ("onehot"/"scatter")
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True):
@@ -240,6 +241,7 @@ class TransformerEncoderLayer(nn.Module):
                 self.dim_feedforward,
                 dropout=self.dropout,
                 dtype=self.dtype,
+                dispatch_impl=self.moe_dispatch,
             )(x, deterministic=deterministic)
         else:
             h = nn.relu(nn.Dense(self.dim_feedforward, dtype=self.dtype)(x))
@@ -328,6 +330,7 @@ class TransformerEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     fused_qkv: bool = False
     moe_experts: int = 0
+    moe_dispatch: str = "onehot"
 
     @nn.compact
     def __call__(self, x, key_padding_mask=None, deterministic: bool = True,
@@ -347,6 +350,7 @@ class TransformerEncoder(nn.Module):
                 dtype=self.dtype,
                 fused_qkv=self.fused_qkv,
                 moe_experts=self.moe_experts,
+                moe_dispatch=self.moe_dispatch,
             )(x, mask=mask, deterministic=deterministic)
         if self.final_norm:
             x = nn.LayerNorm(epsilon=1e-5)(x)

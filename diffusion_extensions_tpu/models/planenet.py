@@ -34,6 +34,7 @@ class PlaneNet(nn.Module):
     dropout: float = 0.0
     bf16: bool = False
     moe_experts: int = 0  # >0: Switch MoE FFN (ep-shardable, models/moe.py)
+    moe_dispatch: str = "onehot"  # MoEFFN.dispatch_impl ("onehot"/"scatter")
 
     @nn.compact
     def __call__(self, x: jax.Array, t: jax.Array, deterministic: bool = True):
@@ -49,6 +50,7 @@ class PlaneNet(nn.Module):
             final_norm=False,
             dtype=jnp.bfloat16 if self.bf16 else jnp.float32,
             moe_experts=self.moe_experts,
+            moe_dispatch=self.moe_dispatch,
         )(h, deterministic=deterministic)
         h = h.astype(jnp.float32)
         pooled = PoolRN(self.dim)(h)  # (B, dim)

@@ -84,3 +84,15 @@ run_once 1500 results/prot_se3_equiv_s1_eval240_pf50_flowstate.log \
     2>&1 | tee results/prot_se3_equiv_s1_eval240_pf50_flowstate.log"
 
 echo "QUEUE R4-4 COMPLETE"
+
+# 7) MoE dispatch throughput A/B on the real chip (onehot vs the round-4
+#    O(T*D) scatter dispatch), short measured runs at the MoE-arm config
+for disp in onehot scatter; do
+  run_once 900 "results/aircraft_moe4_disp_${disp}.jsonl" \
+    python -u -m diffusion_extensions_tpu.experiments.aircraft --so3 \
+    --bf16 --moe-experts 4 --moe-dispatch "$disp" --steps 3000 \
+    --steps-per-call 8 --print-every 500 \
+    --log "results/aircraft_moe4_disp_${disp}.jsonl"
+done
+
+echo "QUEUE R4-4B COMPLETE"

@@ -271,31 +271,40 @@ def bench_protein(batch, quick):
         jnp.broadcast_to(jnp.eye(3), (batch, 3, 3)), jnp.zeros((batch, 3))
     )
 
-    @jax.jit
-    def step_fn(state, pb):
-        key = jax.random.fold_in(state.key, state.step)
-        step_key, next_key = jax.random.split(key)
+    # production config (experiments/protein.py): K=8 fused dispatch via
+    # the shared dp step; norms only on the final fused sub-step
+    from diffusion_extensions_tpu.parallel.dp import make_dp_train_step
+    from diffusion_extensions_tpu.parallel.mesh import make_mesh
 
-        def loss_fn(params):
-            proj = ProtProjection(pb, se3=True)
-            return process.loss(
-                lambda x, t: model.apply(params, x, t), step_key, truepos,
-                projection=proj,
-            )
+    K = 8
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        return state.apply_gradients(tx, grads, next_key), loss
+    def loss_fn(params, key, pb):
+        proj = ProtProjection(pb, se3=True)
+        return process.loss(
+            lambda x, t: model.apply(params, x, t), key, truepos,
+            projection=proj,
+        )
 
-    flops = _flops_per_step(step_fn, state, pb)
+    step_fn = make_dp_train_step(
+        loss_fn, tx, make_mesh(devices=jax.devices()[:1]),
+        steps_per_call=K, log_norms=True, donate=False,
+    )
+    pbs = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(
+            jnp.asarray(x)[None], (K,) + jnp.asarray(x).shape
+        ),
+        pb,
+    )
+    flops = _flops_per_step(step_fn, state, pbs) / K
     holder = {"state": state}
 
-    def call(pb):
-        holder["state"], loss = step_fn(holder["state"], pb)
-        return loss
+    def call(pbs):
+        holder["state"], metrics = step_fn(holder["state"], pbs)
+        return metrics["loss"]
 
-    n_calls, warmup = (20, 3) if quick else (60, 8)
-    dt = _time_calls(call, lambda: (pb,), n_calls, warmup)
-    sps = n_calls / dt
+    n_calls, warmup = (4, 2) if quick else (10, 2)
+    dt = _time_calls(call, lambda: (pbs,), n_calls, warmup)
+    sps = n_calls * K / dt
     mfu = sps * flops / PEAK_BF16 if np.isfinite(flops) else None
     return sps, mfu, flops
 

@@ -46,7 +46,7 @@ def make_dp_train_step(
     tracking (``so3_train.py:62``, ``prot_train.py:76``).
     """
 
-    def one_step(state: TrainState, batch):
+    def one_step(state: TrainState, batch, want_norms=True):
         # Per-device PRNG: fold the mesh position into this step's key so
         # shards draw independent noise.
         idx = jax.lax.axis_index(axis)
@@ -86,8 +86,19 @@ def make_dp_train_step(
         if log_norms:
             import optax
 
-            metrics["grad_norm"] = optax.global_norm(grads)
-            metrics["param_norm"] = optax.global_norm(new_state.params)
+            # Norms cost a full HBM sweep of grads + params; only the final
+            # fused sub-step's metrics are reported, so under lax.cond the
+            # earlier K-1 sub-steps skip that sweep at runtime.
+            def with_norms():
+                return (optax.global_norm(grads),
+                        optax.global_norm(new_state.params))
+
+            def without():
+                return (jnp.zeros(()), jnp.zeros(()))
+
+            gn, pn = jax.lax.cond(want_norms, with_norms, without)
+            metrics["grad_norm"] = gn
+            metrics["param_norm"] = pn
         return new_state, metrics
 
     if steps_per_call == 1:
@@ -96,10 +107,15 @@ def make_dp_train_step(
     else:
 
         def shard_step(state: TrainState, batches):
-            def body(state, batch):
-                return one_step(state, batch)
+            K = jax.tree_util.tree_leaves(batches)[0].shape[0]
 
-            state, metrics = jax.lax.scan(body, state, batches)
+            def body(state, ib):
+                i, batch = ib
+                return one_step(state, batch, want_norms=(i == K - 1))
+
+            state, metrics = jax.lax.scan(
+                body, state, (jnp.arange(K), batches)
+            )
             return state, jax.tree_util.tree_map(lambda m: m[-1], metrics)
 
         batch_spec = P(None, axis)

@@ -247,3 +247,35 @@ def test_make_optimizer_clip_and_decay_behave():
             first = float(jnp.abs(upd["w"]).max())
     last = float(jnp.abs(upd["w"]).max())
     assert last < 0.2 * first
+
+
+def test_dp_fused_log_norms_final_substep(toy_setup):
+    """With steps_per_call>1 and log_norms, the reported norms must be the
+    FINAL fused sub-step's real norms (earlier sub-steps skip the HBM sweep
+    via lax.cond), matching the sequential K=1 trajectory's last step."""
+    model, process, params, tx = toy_setup
+    mesh = make_mesh()
+
+    def loss_fn(p, key, batch):
+        return process.loss(lambda x, t: model.apply(p, x, t), key, batch)
+
+    step1 = make_dp_train_step(loss_fn, tx, mesh, donate=False, log_norms=True)
+    stepK = make_dp_train_step(
+        loss_fn, tx, mesh, donate=False, log_norms=True, steps_per_call=4
+    )
+    state_a = TrainState.create(params, tx, jax.random.PRNGKey(1))
+    state_b = TrainState.create(params, tx, jax.random.PRNGKey(1))
+    batches = [
+        sample_two_mode_batch(jax.random.PRNGKey(10 + i), 32) for i in range(4)
+    ]
+    for b in batches:
+        state_a, m_a = step1(state_a, shard_batch(b, mesh))
+    state_b, m_b = stepK(state_b, jnp.stack(batches))
+    assert float(m_b["grad_norm"]) > 0
+    assert float(m_b["param_norm"]) > 0
+    np.testing.assert_allclose(
+        float(m_a["grad_norm"]), float(m_b["grad_norm"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(m_a["param_norm"]), float(m_b["param_norm"]), rtol=1e-5
+    )

@@ -270,7 +270,9 @@ def test(args):
         args.lr, clip=args.clip, schedule=args.lr_schedule,
         total_steps=args.steps,
     )
-    state = restore_checkpoint(args.ckpt, TrainState.create(params, tx, key))
+    state = restore_checkpoint(
+        args.ckpt, TrainState.create(params, tx, key), params_only=True
+    )
     if int(state.step) == 0:
         print("warning: no checkpoint found; evaluating untrained model")
     # params as a jit argument (not a closure): restored host arrays would

@@ -134,7 +134,8 @@ def test(args):
     key = jax.random.PRNGKey(args.seed)
     params = model.init(key, jnp.zeros((1, 3, 3)), jnp.zeros((1,), jnp.int32))
     state = restore_checkpoint(
-        args.ckpt, TrainState.create(params, optax.adam(args.lr), key)
+        args.ckpt, TrainState.create(params, optax.adam(args.lr), key),
+        params_only=True,
     )
     if int(state.step) == 0:
         print("warning: no checkpoint found; evaluating untrained model")

@@ -115,7 +115,8 @@ def test(args):
     )
     params = model.init(key, x_init, jnp.zeros((1,), jnp.int32))
     state = restore_checkpoint(
-        args.ckpt, TrainState.create(params, optax.adam(args.lr), key)
+        args.ckpt, TrainState.create(params, optax.adam(args.lr), key),
+        params_only=True,
     )
     if int(state.step) == 0:
         print("warning: no checkpoint found; sampling from untrained model")

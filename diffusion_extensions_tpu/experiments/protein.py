@@ -281,7 +281,8 @@ def test(args):
                 total_steps=args.steps,
             ),
             key,
-        )
+        ),
+        params_only=True,
     )
     if int(state.step) == 0:
         print("warning: no checkpoint found; evaluating untrained model")

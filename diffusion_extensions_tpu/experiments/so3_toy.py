@@ -85,7 +85,9 @@ def test(args):
     key = jax.random.PRNGKey(args.seed)
     params = model.init(key, jnp.zeros((1, 3, 3)), jnp.zeros((1,), jnp.int32))
     tx = optax.adam(args.lr)
-    state = restore_checkpoint(args.ckpt, TrainState.create(params, tx, key))
+    state = restore_checkpoint(
+        args.ckpt, TrainState.create(params, tx, key), params_only=True
+    )
     if int(state.step) == 0:
         print("warning: no checkpoint found; sampling from untrained model")
 

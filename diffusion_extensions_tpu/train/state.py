@@ -70,12 +70,29 @@ def latest_step(ckpt_dir: str) -> Optional[int]:
     return _mgr(ckpt_dir).latest_step()
 
 
-def restore_checkpoint(ckpt_dir: str, target: TrainState) -> TrainState:
-    """Restore the latest checkpoint into the structure of ``target``."""
+def restore_checkpoint(
+    ckpt_dir: str, target: TrainState, params_only: bool = False
+) -> TrainState:
+    """Restore the latest checkpoint into the structure of ``target``.
+
+    ``params_only=True`` grafts only params/step/key from disk onto
+    ``target``, ignoring the stored optimizer state entirely.  Eval paths
+    use this: a checkpoint written with ``--clip``/``--lr-schedule``
+    stabilizers has an ``optax.chain`` opt-state pytree that a bare-Adam
+    eval-side ``TrainState.create`` cannot structurally match, and eval
+    never touches the optimizer anyway.
+    """
     import orbax.checkpoint as ocp
 
     mgr = _mgr(ckpt_dir)
     step = mgr.latest_step()
     if step is None:
         return target
+    if params_only:
+        raw = mgr.restore(step)  # structure-free: nested dicts off disk
+        return target.replace(
+            step=jnp.asarray(raw["step"]),
+            params=jax.tree_util.tree_map(jnp.asarray, raw["params"]),
+            key=jnp.asarray(raw["key"]),
+        )
     return mgr.restore(step, args=ocp.args.StandardRestore(target))

@@ -133,6 +133,30 @@ def test_checkpoint_roundtrip(toy_setup, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_checkpoint_params_only_across_opt_structures(toy_setup, tmp_path):
+    """A checkpoint written with a --clip chained optimizer must restore
+    into a bare-Adam eval target via params_only (the eval side never
+    rebuilds the training stabilizer flags — round-4 queue regression)."""
+    from diffusion_extensions_tpu.train.optim import make_optimizer
+
+    model, process, params, _ = toy_setup
+    tx_train = make_optimizer(1e-3, clip=1.0)
+    state = TrainState.create(params, tx_train, jax.random.PRNGKey(7))
+    state = state.replace(step=jnp.asarray(200, jnp.int32))
+    ckpt = os.path.join(str(tmp_path), "ck_clip")
+    save_checkpoint(ckpt, state)
+    eval_target = TrainState.create(
+        params, make_optimizer(1e-3), jax.random.PRNGKey(0)
+    )
+    restored = restore_checkpoint(ckpt, eval_target, params_only=True)
+    assert int(restored.step) == 200
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params),
+        jax.tree_util.tree_leaves(restored.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_lock_batch_on_geodesic():
     from diffusion_extensions_tpu.ops.so3 import rotation_angle, rmat_to_euler
 

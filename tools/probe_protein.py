@@ -85,7 +85,8 @@ def main(argv=None):
     key = jax.random.PRNGKey(0)
     params0 = model.init(key, batch, jnp.zeros((B,), jnp.int32))
     state = restore_checkpoint(
-        args.ckpt, TrainState.create(params0, optax.adam(1e-4), key)
+        args.ckpt, TrainState.create(params0, optax.adam(1e-4), key),
+        params_only=True,
     )
     print(f"ckpt step: {int(state.step)}")
     params = jax.device_put(state.params)

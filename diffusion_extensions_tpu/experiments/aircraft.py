@@ -112,7 +112,7 @@ def train(args):
     print(f"PlaneNet params: {n_params/1e6:.2f}M")
     tx = make_optimizer(
         args.lr, clip=args.clip, schedule=args.lr_schedule,
-        total_steps=args.steps,
+        total_steps=args.steps, impl=args.opt_impl,
     )
     state = TrainState.create(params, tx, key)
     if args.resume:
@@ -268,7 +268,7 @@ def test(args):
     # checkpoint for orbax restore
     tx = make_optimizer(
         args.lr, clip=args.clip, schedule=args.lr_schedule,
-        total_steps=args.steps,
+        total_steps=args.steps, impl=args.opt_impl,
     )
     state = restore_checkpoint(
         args.ckpt, TrainState.create(params, tx, key), params_only=True

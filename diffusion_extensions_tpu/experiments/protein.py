@@ -138,7 +138,7 @@ def train(args):
     print(f"ProtNet params: {n_params/1e6:.2f}M")
     tx = make_optimizer(
         args.lr, clip=args.clip, schedule=args.lr_schedule,
-        total_steps=args.steps,
+        total_steps=args.steps, impl=args.opt_impl,
     )
     state = TrainState.create(params, tx, key)
     if args.resume:

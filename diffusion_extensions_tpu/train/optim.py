@@ -19,9 +19,83 @@ restoring.
 """
 from __future__ import annotations
 
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
 import optax
 
-__all__ = ["make_optimizer", "add_optim_flags"]
+__all__ = ["make_optimizer", "add_optim_flags", "fused_adam"]
+
+
+class FusedAdamState(NamedTuple):
+    count: jax.Array
+    mu: Any
+    nu: Any
+
+
+def fused_adam(
+    lr,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    clip: float = 0.0,
+) -> optax.GradientTransformation:
+    """Adam (+ optional global-norm clip) as ONE elementwise expression
+    per leaf.
+
+    Mathematically identical to ``optax.chain(clip_by_global_norm(clip),
+    adam(lr))`` but structured so XLA emits a single loop fusion per leaf
+    that reads ``(g, mu, nu)`` and writes ``(update, mu, nu)`` — instead
+    of optax's per-transform passes, each of which materializes a full
+    129M-param intermediate on the ProtNet step (the roofline's 10.7 ms
+    standalone opt_update; BENCHMARKS.md "ProtNet train-step roofline").
+    The clip folds into the same expression as a scalar multiplier, so
+    its only extra traffic is the one grad-norm reduction read.
+    """
+
+    def init(params):
+        zeros = lambda: jax.tree_util.tree_map(jnp.zeros_like, params)
+        return FusedAdamState(jnp.zeros((), jnp.int32), zeros(), zeros())
+
+    def update(grads, state, params=None):
+        del params
+        count = state.count + 1
+        cf = count.astype(jnp.float32)
+        # optax.scale_by_schedule evaluates the schedule at the PRE-
+        # increment count (step 0 uses schedule(0)); bias correction at
+        # the post-increment count — match both exactly
+        lr_t = jnp.asarray(
+            lr(state.count) if callable(lr) else lr, jnp.float32
+        )
+        bc1 = 1.0 - b1 ** cf
+        bc2 = 1.0 - b2 ** cf
+        if clip and clip > 0:
+            gnorm = optax.global_norm(grads)
+            # optax.clip_by_global_norm semantics: rescale only when the
+            # norm exceeds the threshold
+            scale = jnp.minimum(1.0, clip / jnp.maximum(gnorm, 1e-12))
+        else:
+            scale = None
+
+        def leaf(g, mu, nu):
+            if scale is not None:
+                g = g * scale
+            mu2 = b1 * mu + (1.0 - b1) * g
+            nu2 = b2 * nu + (1.0 - b2) * (g * g)
+            upd = (-lr_t) * (mu2 / bc1) / (jnp.sqrt(nu2 / bc2) + eps)
+            return upd, mu2, nu2
+
+        flat_g, tdef = jax.tree_util.tree_flatten(grads)
+        flat_mu = jax.tree_util.tree_leaves(state.mu)
+        flat_nu = jax.tree_util.tree_leaves(state.nu)
+        out = [leaf(g, m, n) for g, m, n in zip(flat_g, flat_mu, flat_nu)]
+        unflat = lambda i: jax.tree_util.tree_unflatten(
+            tdef, [o[i] for o in out]
+        )
+        return unflat(0), FusedAdamState(count, unflat(1), unflat(2))
+
+    return optax.GradientTransformation(init, update)
 
 
 def make_optimizer(
@@ -30,8 +104,14 @@ def make_optimizer(
     schedule: str = "const",
     total_steps: int | None = None,
     final_frac: float = 0.1,
+    impl: str = "optax",
 ) -> optax.GradientTransformation:
-    """Adam with optional global-norm clipping and cosine LR decay."""
+    """Adam with optional global-norm clipping and cosine LR decay.
+
+    ``impl="fused"`` swaps in :func:`fused_adam` — same math, different
+    opt-state pytree structure (eval restores are ``params_only`` so
+    checkpoints stay readable either way; *resume* needs the same impl).
+    """
     if schedule == "cosine":
         if not total_steps:
             raise ValueError("cosine schedule needs total_steps")
@@ -40,6 +120,10 @@ def make_optimizer(
         )
     elif schedule != "const":
         raise ValueError(f"unknown lr schedule: {schedule!r}")
+    if impl == "fused":
+        return fused_adam(lr, clip=clip)
+    if impl != "optax":
+        raise ValueError(f"unknown optimizer impl: {impl!r}")
     adam = optax.adam(lr)
     if clip and clip > 0:
         return optax.chain(optax.clip_by_global_norm(clip), adam)
@@ -58,4 +142,11 @@ def add_optim_flags(parser) -> None:
         choices=("const", "cosine"), default="const",
         help="LR schedule: const (reference protocol) or cosine decay "
              "to 0.1*lr over --steps",
+    )
+    parser.add_argument(
+        "--opt-impl", dest="opt_impl", choices=("optax", "fused"),
+        default="optax",
+        help="Adam implementation: optax (chain) or fused single-"
+             "expression update (same math, fewer HBM passes; opt-state "
+             "structure differs, so resume with the same impl)",
     )

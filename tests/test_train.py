@@ -133,6 +133,45 @@ def test_checkpoint_roundtrip(toy_setup, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_fused_adam_matches_optax_chain():
+    """fused_adam must be bit-for-bit Adam: same trajectory as
+    optax.chain(clip_by_global_norm, adam) over steps where the clip both
+    does and does not trigger, and under a cosine schedule."""
+    from diffusion_extensions_tpu.train.optim import make_optimizer
+
+    key = jax.random.PRNGKey(0)
+    params = {
+        "w": jax.random.normal(key, (37, 19)),
+        "b": {"x": jax.random.normal(jax.random.fold_in(key, 1), (19,))},
+    }
+    for kw in (
+        dict(clip=0.0),
+        dict(clip=0.05),  # triggers on large grads below
+        dict(clip=0.05, schedule="cosine", total_steps=10),
+    ):
+        tx_ref = make_optimizer(1e-2, impl="optax", **kw)
+        tx_fus = make_optimizer(1e-2, impl="fused", **kw)
+        s_ref, s_fus = tx_ref.init(params), tx_fus.init(params)
+        p_ref = p_fus = params
+        for i in range(10):
+            g = jax.tree_util.tree_map(
+                lambda p, i=i: (0.1 + 10.0 * (i % 2)) * jnp.ones_like(p),
+                params,
+            )
+            u_ref, s_ref = tx_ref.update(g, s_ref, p_ref)
+            import optax as _optax
+
+            p_ref = _optax.apply_updates(p_ref, u_ref)
+            u_fus, s_fus = tx_fus.update(g, s_fus, p_fus)
+            p_fus = _optax.apply_updates(p_fus, u_fus)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p_ref), jax.tree_util.tree_leaves(p_fus)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-6, atol=2e-7
+            )
+
+
 def test_checkpoint_params_only_across_opt_structures(toy_setup, tmp_path):
     """A checkpoint written with a --clip chained optimizer must restore
     into a bare-Adam eval target via params_only (the eval side never

@@ -73,7 +73,7 @@ def time_fn(fn, *args, n=30, warmup=5):
 
 def build(batch, fuse_chains=True, fused_qkv=False, conv_impl="matmul",
           dim=1024, t_depth=12, c_depth=8, heads=8, log_norms=False,
-          steps_per_call=1):
+          steps_per_call=1, opt_impl="optax", clip=0.0):
     rng = np.random.default_rng(0)
     pairs = [synthetic_prot_pair(rng) for _ in range(16)]
     lr = max(p[0].positions.shape[0] for p in pairs)
@@ -87,7 +87,9 @@ def build(batch, fuse_chains=True, fused_qkv=False, conv_impl="matmul",
     process = ProjectedSE3Diffusion(timesteps=1000)
     key = jax.random.PRNGKey(0)
     params = model.init(key, pb, jnp.zeros((batch,), jnp.int32))
-    tx = optax.adam(1e-4)
+    from diffusion_extensions_tpu.train.optim import make_optimizer
+
+    tx = make_optimizer(1e-4, clip=clip, impl=opt_impl)
     state = TrainState.create(params, tx, key)
     truepos = AffineT(
         jnp.broadcast_to(jnp.eye(3), (batch, 3, 3)), jnp.zeros((batch, 3))
@@ -246,11 +248,17 @@ def main():
         ("k8", dict(steps_per_call=8)),
         ("k8+norms", dict(steps_per_call=8, log_norms=True)),
         ("norms", dict(log_norms=True)),
+        ("fused_adam", dict(opt_impl="fused")),
+        ("clip_chain", dict(clip=1.0)),
+        ("clip_fused", dict(clip=1.0, opt_impl="fused")),
     ):
         k = kw.get("steps_per_call", 1)
         _, pb2, st2, sf2 = build(b, **kw, **sizes)
         dt = time_fn(sf2, st2, pb2, n=max(n // k, 4), warmup=3) / k
-        fl = flops_of(sf2, st2, pb2) / k
+        # XLA cost analysis counts a lax.scan body ONCE (not per trip), so
+        # the K-fused program's reported flops are already per-step — do
+        # NOT divide by k (the r4b log's k8 MFU rows are wrong for this)
+        fl = flops_of(sf2, st2, pb2)
         ab[tag] = {
             "steps_per_sec": round(1.0 / dt, 2),
             "mfu": round(fl / dt / PEAK_BF16, 4) if np.isfinite(fl) else None,

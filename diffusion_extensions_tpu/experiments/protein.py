@@ -75,6 +75,7 @@ def build(args):
         cross_depth=args.cross_depth,
         rel_frame=args.rel_frame,
         equiv_head=args.equiv_head,
+        conv_impl=args.conv_impl,
     )
     if args.se3:
         process = ProjectedSE3Diffusion(
@@ -400,6 +401,10 @@ def parse_args(argv=None):
                         "self-attention encoders (beyond-reference: makes "
                         "the bilinear cross-chain rotation comparison "
                         "representable before pooling; 0 = reference parity)")
+    p.add_argument("--conv-impl", dest="conv_impl",
+                   choices=("matmul", "xla_conv", "sum3"), default="matmul",
+                   help="residue conv lowering (same math/params; see "
+                        "BENCHMARKS.md protein roofline A/B)")
     p.add_argument("--rel-frame", dest="rel_frame", action="store_true",
                    help="append the bilinear relative-frame readout "
                         "P_lig @ P_rec^T of gated-pooled frames "

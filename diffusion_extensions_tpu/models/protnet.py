@@ -56,6 +56,7 @@ class _Conv3(nn.Module):
 
     features: int
     dtype: jnp.dtype = jnp.float32
+    impl: str = "matmul"  # "matmul" (one 3*Cin dot) | "sum3" (3 dots summed)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:  # (B, L, Cin)
@@ -65,6 +66,15 @@ class _Conv3(nn.Module):
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         x = x.astype(self.dtype)
+        k = kernel.astype(self.dtype)
+        if self.impl == "sum3":
+            # y[l] = x[l-1]@k0 + x[l]@k1 + x[l+1]@k2: no (B, L, 3*Cin)
+            # concat materialized; XLA emits three K=Cin dots over the
+            # same activation buffer and fuses the adds
+            y = x @ k[1]
+            y = y.at[..., 1:, :].add(x[..., :-1, :] @ k[0])
+            y = y.at[..., :-1, :].add(x[..., 1:, :] @ k[2])
+            return y + bias.astype(self.dtype)
         zeros = jnp.zeros_like(x[..., :1, :])
         shifted = jnp.concatenate(
             [
@@ -101,11 +111,11 @@ class _ResConv(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:  # (B, L, RES_COUNT)
         names = iter(f"Conv_{i}" for i in range(self.c_depth))
-        if self.impl == "matmul":
+        if self.impl in ("matmul", "sum3"):
             # explicit names keep the param tree identical to the nn.Conv
             # path ("Conv_i/kernel|bias", kernel (3, Cin, Cout))
             conv = lambda feats: _Conv3(feats, dtype=self.dtype,
-                                        name=next(names))
+                                        impl=self.impl, name=next(names))
         else:
             conv = lambda feats: nn.Conv(
                 feats, kernel_size=(3,), padding="SAME", dtype=self.dtype,

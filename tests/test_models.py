@@ -498,3 +498,9 @@ def test_resconv_matmul_matches_xla_conv():
         jax.tree_util.tree_structure(params)
         == jax.tree_util.tree_structure(params_x)
     )
+    # the sum3 lowering (three K=Cin dots, no concat) is the same conv too
+    s3 = _ResConv(32, 8, 4, impl="sum3")
+    y_s3 = s3.apply(params, x)
+    np.testing.assert_allclose(
+        np.asarray(y_mm), np.asarray(y_s3), rtol=2e-5, atol=2e-5
+    )

@@ -170,6 +170,9 @@ def main():
     conv_x = _ResConv(dim, max(dim // 4, 8), args.c_depth,
                       dtype=jnp.bfloat16, impl="xla_conv")
     conv_x_fwd = lambda p, x: conv_x.apply(p, x)
+    conv_s = _ResConv(dim, max(dim // 4, 8), args.c_depth,
+                      dtype=jnp.bfloat16, impl="sum3")
+    conv_s_fwd = lambda p, x: conv_s.apply(p, x)
 
     # grad-only (no optimizer update): isolates fwd+bwd from Adam + noise
     process = ProjectedSE3Diffusion(timesteps=1000)
@@ -224,6 +227,7 @@ def main():
         ("encoder12_fwd", enc_fwd, (enc_params, feats)),
         ("conv_stack_fwd_rec", conv_fwd, (conv_params, res_in)),
         ("conv_stack_fwd_rec_xla_conv", conv_x_fwd, (conv_params, res_in)),
+        ("conv_stack_fwd_rec_sum3", conv_s_fwd, (conv_params, res_in)),
     ):
         fl = flops_of(fn, *fargs)
         dt = time_fn(fn, *fargs, n=n, warmup=3)
@@ -251,6 +255,8 @@ def main():
         ("fused_adam", dict(opt_impl="fused")),
         ("clip_chain", dict(clip=1.0)),
         ("clip_fused", dict(clip=1.0, opt_impl="fused")),
+        ("sum3_conv", dict(conv_impl="sum3")),
+        ("xla_conv+fused_adam", dict(conv_impl="xla_conv", opt_impl="fused")),
     ):
         k = kw.get("steps_per_call", 1)
         _, pb2, st2, sf2 = build(b, **kw, **sizes)

@@ -188,6 +188,9 @@ def bench_aircraft(args, n_chips, moe_experts=0):
     model = PlaneNet(
         dim=args.dim, heads=args.heads, layers=args.layers, bf16=args.bf16,
         moe_experts=moe_experts,
+        # integer-scatter dispatch: the measured 2.8x winner over one-hot
+        # einsum (results/moe_dispatch_winner.txt, BENCHMARKS.md MoE A/B)
+        moe_dispatch="scatter",
     )
     process = ProjectedSO3Diffusion(timesteps=1000)
     truepos = jnp.broadcast_to(jnp.eye(3), (args.batch, 3, 3))
@@ -424,7 +427,10 @@ def main(argv=None):
 
     rows = {}
     if not args.headline_only:
-        for b in (4, 16):
+        # b4 = the reference's GPU-memory-bound config; b16 = the TPU-scaled
+        # config; b32 demonstrates the batch knob that amortizes the
+        # optimizer's fixed HBM sweep (BENCHMARKS.md protein roofline)
+        for b in (4, 16, 32):
             sps, pmfu, pflops = bench_protein(b, args.quick)
             rows[f"protein_train_b{b}"] = {
                 "steps_per_sec": round(sps, 2),

@@ -274,12 +274,16 @@ def bench_protein(batch, quick):
         jnp.broadcast_to(jnp.eye(3), (batch, 3, 3)), jnp.zeros((batch, 3))
     )
 
-    # production config (experiments/protein.py): K=8 fused dispatch via
-    # the shared dp step; norms only on the final fused sub-step
+    # Shared dp train step (the production dispatch path), at the SAME
+    # measurement protocol as BENCH_r03 (K=1, no norm logging) so the
+    # protein rows stay comparable round-over-round.  The K=8/norms
+    # production knobs are measured as roofline A/B arms instead
+    # (tools/protein_roofline.py): on this 20 ms step K-fusion is relay-
+    # noise-level, unlike the 5 ms aircraft step it was built for.
     from diffusion_extensions_tpu.parallel.dp import make_dp_train_step
     from diffusion_extensions_tpu.parallel.mesh import make_mesh
 
-    K = 8
+    K = 1
 
     def loss_fn(params, key, pb):
         proj = ProtProjection(pb, se3=True)
@@ -290,23 +294,17 @@ def bench_protein(batch, quick):
 
     step_fn = make_dp_train_step(
         loss_fn, tx, make_mesh(devices=jax.devices()[:1]),
-        steps_per_call=K, log_norms=True, donate=False,
+        steps_per_call=K, log_norms=False, donate=False,
     )
-    pbs = jax.tree_util.tree_map(
-        lambda x: jnp.broadcast_to(
-            jnp.asarray(x)[None], (K,) + jnp.asarray(x).shape
-        ),
-        pb,
-    )
-    flops = _flops_per_step(step_fn, state, pbs) / K
+    flops = _flops_per_step(step_fn, state, pb)
     holder = {"state": state}
 
-    def call(pbs):
-        holder["state"], metrics = step_fn(holder["state"], pbs)
+    def call(pb):
+        holder["state"], metrics = step_fn(holder["state"], pb)
         return metrics["loss"]
 
-    n_calls, warmup = (4, 2) if quick else (10, 2)
-    dt = _time_calls(call, lambda: (pbs,), n_calls, warmup)
+    n_calls, warmup = (20, 3) if quick else (60, 8)
+    dt = _time_calls(call, lambda: (pb,), n_calls, warmup)
     sps = n_calls * K / dt
     mfu = sps * flops / PEAK_BF16 if np.isfinite(flops) else None
     return sps, mfu, flops

@@ -55,7 +55,7 @@ def build(args):
     model = PlaneNet(
         dim=args.dim, heads=args.heads, layers=args.layers, bf16=args.bf16,
         moe_experts=getattr(args, "moe_experts", 0),
-        moe_dispatch=getattr(args, "moe_dispatch", "onehot"),
+        moe_dispatch=getattr(args, "moe_dispatch", "scatter"),
     )
     if args.so3:
         process = ProjectedSO3Diffusion(timesteps=args.timesteps)
@@ -387,7 +387,7 @@ def parse_args(argv=None):
     p.add_argument("--moe-experts", dest="moe_experts", type=int, default=0,
                    help="swap the FFN for a Switch MoE with this many "
                         "experts (ep-shardable, models/moe.py); 0 = dense")
-    p.add_argument("--moe-dispatch", dest="moe_dispatch", default="onehot",
+    p.add_argument("--moe-dispatch", dest="moe_dispatch", default="scatter",
                    choices=("onehot", "scatter"),
                    help="MoE token dispatch: one-hot (T,E,C) einsums (MXU "
                         "work, O(T^2) scaling) or O(T*D) slot scatter; "

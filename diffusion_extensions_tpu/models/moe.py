@@ -49,7 +49,7 @@ class MoEFFN(nn.Module):
     #   below).  "scatter": slot-indexed scatter/gather — O(T*D) traffic,
     #   the right choice for long sequences.  Identical routing semantics
     #   and parameter tree (tests/test_moe.py asserts output parity).
-    dispatch_impl: str = "onehot"
+    dispatch_impl: str = "scatter"  # measured 2.8x over "onehot" (BENCHMARKS MoE A/B)
 
     @nn.compact
     def __call__(

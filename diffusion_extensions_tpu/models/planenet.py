@@ -34,7 +34,7 @@ class PlaneNet(nn.Module):
     dropout: float = 0.0
     bf16: bool = False
     moe_experts: int = 0  # >0: Switch MoE FFN (ep-shardable, models/moe.py)
-    moe_dispatch: str = "onehot"  # MoEFFN.dispatch_impl ("onehot"/"scatter")
+    moe_dispatch: str = "scatter"  # MoEFFN.dispatch_impl; scatter = measured winner
 
     @nn.compact
     def __call__(self, x: jax.Array, t: jax.Array, deterministic: bool = True):

@@ -196,6 +196,36 @@ def test_checkpoint_params_only_across_opt_structures(toy_setup, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_fused_adam_checkpoint_roundtrip(toy_setup, tmp_path):
+    """--opt-impl fused must resume: FusedAdamState (NamedTuple of
+    pytrees) survives an orbax save/restore cycle structurally intact."""
+    from diffusion_extensions_tpu.train.optim import make_optimizer
+
+    model, process, params, _ = toy_setup
+    tx = make_optimizer(1e-3, clip=1.0, impl="fused")
+    state = TrainState.create(params, tx, jax.random.PRNGKey(3))
+    g = jax.tree_util.tree_map(jnp.ones_like, params)
+    state = state.apply_gradients(tx, g, jax.random.PRNGKey(4))
+    ckpt = os.path.join(str(tmp_path), "ck_fused")
+    save_checkpoint(ckpt, state)
+    fresh = TrainState.create(params, tx, jax.random.PRNGKey(0))
+    restored = restore_checkpoint(ckpt, fresh)
+    assert int(restored.opt_state.count) == 1
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.opt_state),
+        jax.tree_util.tree_leaves(restored.opt_state),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and one more step continues identically from the restored state
+    s2a = state.apply_gradients(tx, g, jax.random.PRNGKey(5))
+    s2b = restored.apply_gradients(tx, g, jax.random.PRNGKey(5))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s2a.params),
+        jax.tree_util.tree_leaves(s2b.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_lock_batch_on_geodesic():
     from diffusion_extensions_tpu.ops.so3 import rotation_angle, rmat_to_euler
 

@@ -206,8 +206,8 @@ def train(args):
     step = int(state.step)
     last_save = step
     epoch = 0
-    while step < args.steps:
-        if args.epoch_accum:
+    if args.epoch_accum:
+        while step < args.steps:
             # reference semantics: accumulate grads over the whole epoch,
             # one optimizer step per epoch (prot_train.py:104-108)
             grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
@@ -220,42 +220,51 @@ def train(args):
             _, next_key = jax.random.split(key)
             state = state.apply_gradients(tx, grads, next_key)
             step += max(count, 1)
-        else:
-            epoch_batches = list(make_batches(pairs, args, rng))
-            i = 0
-            while i < len(epoch_batches) and step < args.steps:
-                if K == 1:
-                    batch = epoch_batches[i]
-                    i += 1
-                else:
-                    # stack K batches on a leading scan axis, wrapping
-                    # within the epoch when fewer than K remain
-                    group = [
-                        epoch_batches[(i + j) % len(epoch_batches)]
-                        for j in range(K)
-                    ]
-                    i += K
-                    batch = jax.tree_util.tree_map(
-                        lambda *xs: np.stack(xs), *group
-                    )
-                state, metrics = step_fn(state, batch)
-                for _ in range(K):
-                    meter.tick()
-                prev = step
-                step += K
-                if step // args.print_every != prev // args.print_every:
-                    logger.log(
-                        step,
-                        {**metrics,
-                         "steps_per_sec": meter.steps_per_sec or float("nan")},
-                    )
-        epoch += 1
-        # step-based cadence: with small (synthetic) pair sets an epoch is a
-        # few steps and each save hauls the full 1.5 GB state pytree through
-        # the device relay — epoch-based saving would dominate the run.
-        if step - last_save >= args.ckpt_every or step >= args.steps:
-            save_checkpoint(args.ckpt, state)
-            last_save = step
+            epoch += 1
+            # step-based save cadence: with small (synthetic) pair sets an
+            # epoch is a few steps and each save hauls the full 1.5 GB
+            # state pytree through the device relay — epoch-based saving
+            # would dominate the run.
+            if step - last_save >= args.ckpt_every or step >= args.steps:
+                save_checkpoint(args.ckpt, state)
+                last_save = step
+    else:
+
+        def endless():
+            # epochs chained into one stream: every batch is freshly
+            # Haar-augmented by make_batches
+            while True:
+                yield from make_batches(pairs, args, rng)
+
+        gen = endless()
+        while step < args.steps:
+            if K == 1:
+                batch = next(gen)
+            else:
+                # K DISTINCT fresh batches stacked on the scan axis (a
+                # group may span epochs).  Grouping must never lower the
+                # augmented protocol's fresh-pose rate: the first round-4
+                # version reused one batch K times whenever an epoch had
+                # fewer than K batches (true for every synthetic-pair
+                # config), silently cutting augmentation diversity 8x.
+                batch = jax.tree_util.tree_map(
+                    lambda *xs: np.stack(xs),
+                    *(next(gen) for _ in range(K)),
+                )
+            state, metrics = step_fn(state, batch)
+            for _ in range(K):
+                meter.tick()
+            prev = step
+            step += K
+            if step // args.print_every != prev // args.print_every:
+                logger.log(
+                    step,
+                    {**metrics,
+                     "steps_per_sec": meter.steps_per_sec or float("nan")},
+                )
+            if step - last_save >= args.ckpt_every or step >= args.steps:
+                save_checkpoint(args.ckpt, state)
+                last_save = step
     if step > last_save:
         save_checkpoint(args.ckpt, state)
     return state

@@ -411,7 +411,7 @@ def parse_args(argv=None):
                         "the bilinear cross-chain rotation comparison "
                         "representable before pooling; 0 = reference parity)")
     p.add_argument("--conv-impl", dest="conv_impl",
-                   choices=("matmul", "xla_conv", "sum3"), default="matmul",
+                   choices=("matmul", "xla_conv", "sum3"), default="xla_conv",
                    help="residue conv lowering (same math/params; see "
                         "BENCHMARKS.md protein roofline A/B)")
     p.add_argument("--rel-frame", dest="rel_frame", action="store_true",

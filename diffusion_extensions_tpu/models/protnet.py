@@ -239,10 +239,11 @@ class ProtNet(nn.Module):
     # (FusedSelfAttention); measured per-config — see
     # TransformerEncoderLayer docstring
     fused_qkv: bool = False
-    # residue-conv lowering: "matmul" (default) runs each width-3 conv as
-    # one MXU dot via _Conv3; "xla_conv" keeps the nn.Conv lowering.
-    # Same param tree either way — see _ResConv
-    conv_impl: str = "matmul"
+    # residue-conv lowering: "xla_conv" (default) keeps the nn.Conv
+    # lowering — measured +4% end-to-end over the "matmul" _Conv3 dot at
+    # batch 16 (BENCHMARKS.md protein roofline A/B, r4c).  Same param
+    # tree either way — see _ResConv
+    conv_impl: str = "xla_conv"
 
     @nn.compact
     def __call__(self, x: ProtBatch, t: jax.Array, deterministic: bool = True):

@@ -113,6 +113,7 @@ def train(args):
     tx = make_optimizer(
         args.lr, clip=args.clip, schedule=args.lr_schedule,
         total_steps=args.steps, impl=args.opt_impl,
+        state_dtype=args.opt_state_dtype,
     )
     state = TrainState.create(params, tx, key)
     if args.resume:
@@ -269,6 +270,7 @@ def test(args):
     tx = make_optimizer(
         args.lr, clip=args.clip, schedule=args.lr_schedule,
         total_steps=args.steps, impl=args.opt_impl,
+        state_dtype=args.opt_state_dtype,
     )
     state = restore_checkpoint(
         args.ckpt, TrainState.create(params, tx, key), params_only=True

@@ -140,6 +140,7 @@ def train(args):
     tx = make_optimizer(
         args.lr, clip=args.clip, schedule=args.lr_schedule,
         total_steps=args.steps, impl=args.opt_impl,
+        state_dtype=args.opt_state_dtype,
     )
     state = TrainState.create(params, tx, key)
     if args.resume:

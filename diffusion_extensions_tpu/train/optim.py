@@ -40,6 +40,7 @@ def fused_adam(
     b2: float = 0.999,
     eps: float = 1e-8,
     clip: float = 0.0,
+    state_dtype=None,
 ) -> optax.GradientTransformation:
     """Adam (+ optional global-norm clip) as ONE elementwise expression
     per leaf.
@@ -52,10 +53,24 @@ def fused_adam(
     standalone opt_update; BENCHMARKS.md "ProtNet train-step roofline").
     The clip folds into the same expression as a scalar multiplier, so
     its only extra traffic is the one grad-norm reduction read.
+
+    ``state_dtype`` (e.g. ``jnp.bfloat16``) stores the (mu, nu) moment
+    trees compressed; the update math still runs in f32 (moments are cast
+    up inside the fusion).  The optimizer sweep is pure HBM bandwidth at
+    >100M params (roofline: ~3.6 GB/step at f32), and mu+nu are 4 of its
+    7 full-tree passes — bf16 moments cut the sweep's traffic ~29% for a
+    quantization error of ~2^-8 relative on the moment EMAs, which the
+    eps floor and the sqrt in the denominator largely wash out (measured
+    loss parity: BENCHMARKS.md roofline section, r4 bf16-state arm).
     """
 
     def init(params):
-        zeros = lambda: jax.tree_util.tree_map(jnp.zeros_like, params)
+        def zeros():
+            if state_dtype is None:
+                return jax.tree_util.tree_map(jnp.zeros_like, params)
+            return jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, state_dtype), params
+            )
         return FusedAdamState(jnp.zeros((), jnp.int32), zeros(), zeros())
 
     def update(grads, state, params=None):
@@ -81,9 +96,12 @@ def fused_adam(
         def leaf(g, mu, nu):
             if scale is not None:
                 g = g * scale
-            mu2 = b1 * mu + (1.0 - b1) * g
-            nu2 = b2 * nu + (1.0 - b2) * (g * g)
+            mu2 = b1 * mu.astype(g.dtype) + (1.0 - b1) * g
+            nu2 = b2 * nu.astype(g.dtype) + (1.0 - b2) * (g * g)
             upd = (-lr_t) * (mu2 / bc1) / (jnp.sqrt(nu2 / bc2) + eps)
+            if state_dtype is not None:
+                mu2 = mu2.astype(state_dtype)
+                nu2 = nu2.astype(state_dtype)
             return upd, mu2, nu2
 
         flat_g, tdef = jax.tree_util.tree_flatten(grads)
@@ -105,12 +123,20 @@ def make_optimizer(
     total_steps: int | None = None,
     final_frac: float = 0.1,
     impl: str = "optax",
+    state_dtype: str = "f32",
 ) -> optax.GradientTransformation:
     """Adam with optional global-norm clipping and cosine LR decay.
 
     ``impl="fused"`` swaps in :func:`fused_adam` — same math, different
     opt-state pytree structure (eval restores are ``params_only`` so
     checkpoints stay readable either way; *resume* needs the same impl).
+
+    ``state_dtype="bf16"`` stores the Adam moments compressed (update
+    math stays f32) to cut the bandwidth-bound optimizer sweep's HBM
+    traffic at >100M params; it requires the fused impl (optax's
+    ``mu_dtype`` compresses mu only) and is opt-in — never a default —
+    because bf16's 2^-8 resolution can quantize away small nu increments
+    at b2=0.999 (measured A/B in BENCHMARKS.md before relying on it).
     """
     if schedule == "cosine":
         if not total_steps:
@@ -120,8 +146,13 @@ def make_optimizer(
         )
     elif schedule != "const":
         raise ValueError(f"unknown lr schedule: {schedule!r}")
+    if state_dtype not in ("f32", "bf16"):
+        raise ValueError(f"unknown opt state dtype: {state_dtype!r}")
+    if state_dtype == "bf16" and impl != "fused":
+        raise ValueError("--opt-state-dtype bf16 requires --opt-impl fused")
     if impl == "fused":
-        return fused_adam(lr, clip=clip)
+        sd = jnp.bfloat16 if state_dtype == "bf16" else None
+        return fused_adam(lr, clip=clip, state_dtype=sd)
     if impl != "optax":
         raise ValueError(f"unknown optimizer impl: {impl!r}")
     adam = optax.adam(lr)
@@ -149,4 +180,11 @@ def add_optim_flags(parser) -> None:
         help="Adam implementation: optax (chain) or fused single-"
              "expression update (same math, fewer HBM passes; opt-state "
              "structure differs, so resume with the same impl)",
+    )
+    parser.add_argument(
+        "--opt-state-dtype", dest="opt_state_dtype",
+        choices=("f32", "bf16"), default="f32",
+        help="Adam moment storage dtype (bf16 halves the optimizer "
+             "sweep's mu/nu HBM traffic; needs --opt-impl fused; "
+             "measured option, see BENCHMARKS.md roofline)",
     )

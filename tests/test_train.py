@@ -172,6 +172,68 @@ def test_fused_adam_matches_optax_chain():
             )
 
 
+def test_bf16_state_adam_tracks_f32_and_roundtrips(toy_setup, tmp_path):
+    """--opt-state-dtype bf16: moments stored compressed (HBM-bandwidth
+    lever, BENCHMARKS.md roofline), math in f32.  The trajectory must
+    track the f32-state fused Adam within bf16 quantization tolerance,
+    the stored moments must actually BE bf16, and the state must survive
+    an orbax save/restore (resume path) with dtypes intact."""
+    import optax as _optax
+
+    from diffusion_extensions_tpu.train.optim import make_optimizer
+
+    key = jax.random.PRNGKey(2)
+    params = {
+        "w": jax.random.normal(key, (23, 11)),
+        "b": jax.random.normal(jax.random.fold_in(key, 1), (11,)),
+    }
+    tx32 = make_optimizer(1e-2, impl="fused")
+    tx16 = make_optimizer(1e-2, impl="fused", state_dtype="bf16")
+    s32, s16 = tx32.init(params), tx16.init(params)
+    for leaf in (*jax.tree_util.tree_leaves(s16.mu),
+                 *jax.tree_util.tree_leaves(s16.nu)):
+        assert leaf.dtype == jnp.bfloat16
+    p32 = p16 = params
+    for i in range(20):
+        g = jax.tree_util.tree_map(
+            lambda p, i=i: jnp.cos(0.3 * i) * 0.5 * jnp.ones_like(p), params
+        )
+        u32, s32 = tx32.update(g, s32, p32)
+        p32 = _optax.apply_updates(p32, u32)
+        u16, s16 = tx16.update(g, s16, p16)
+        p16 = _optax.apply_updates(p16, u16)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p32), jax.tree_util.tree_leaves(p16)
+    ):
+        # bf16 has ~2^-8 relative resolution on the moments; after 20
+        # steps the param trajectories must agree to well under 1%
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=5e-3
+        )
+    # resume round-trip keeps the compressed dtypes and the trajectory
+    model, process, mparams, _ = toy_setup
+    state = TrainState.create(mparams, tx16, jax.random.PRNGKey(3))
+    g = jax.tree_util.tree_map(
+        lambda p: 0.1 * jnp.ones_like(p), mparams
+    )
+    state = state.apply_gradients(tx16, g, jax.random.PRNGKey(4))
+    ckpt = os.path.join(str(tmp_path), "ck_bf16state")
+    save_checkpoint(ckpt, state)
+    fresh = TrainState.create(mparams, tx16, jax.random.PRNGKey(0))
+    restored = restore_checkpoint(ckpt, fresh)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.opt_state),
+        jax.tree_util.tree_leaves(restored.opt_state),
+    ):
+        assert a.dtype == b.dtype
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # misuse is rejected: bf16 state needs the fused impl
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        make_optimizer(1e-2, impl="optax", state_dtype="bf16")
+
+
 def test_checkpoint_params_only_across_opt_structures(toy_setup, tmp_path):
     """A checkpoint written with a --clip chained optimizer must restore
     into a bare-Adam eval target via params_only (the eval side never

@@ -73,7 +73,7 @@ def time_fn(fn, *args, n=30, warmup=5):
 
 def build(batch, fuse_chains=True, fused_qkv=False, conv_impl="matmul",
           dim=1024, t_depth=12, c_depth=8, heads=8, log_norms=False,
-          steps_per_call=1, opt_impl="optax", clip=0.0):
+          steps_per_call=1, opt_impl="optax", clip=0.0, opt_state_dtype="f32"):
     rng = np.random.default_rng(0)
     pairs = [synthetic_prot_pair(rng) for _ in range(16)]
     lr = max(p[0].positions.shape[0] for p in pairs)
@@ -89,7 +89,8 @@ def build(batch, fuse_chains=True, fused_qkv=False, conv_impl="matmul",
     params = model.init(key, pb, jnp.zeros((batch,), jnp.int32))
     from diffusion_extensions_tpu.train.optim import make_optimizer
 
-    tx = make_optimizer(1e-4, clip=clip, impl=opt_impl)
+    tx = make_optimizer(1e-4, clip=clip, impl=opt_impl,
+                        state_dtype=opt_state_dtype)
     state = TrainState.create(params, tx, key)
     truepos = AffineT(
         jnp.broadcast_to(jnp.eye(3), (batch, 3, 3)), jnp.zeros((batch, 3))
@@ -136,6 +137,8 @@ def main():
     p.add_argument("--heads", type=int, default=8)
     p.add_argument("--t-depth", dest="t_depth", type=int, default=12)
     p.add_argument("--c-depth", dest="c_depth", type=int, default=8)
+    p.add_argument("--only-ab", dest="only_ab", default="",
+                   help="comma-separated A/B arm tags to run (skips the\n                   component decomposition); empty = full sweep")
     args = p.parse_args()
     b = args.batch
     n = 10 if args.quick else 30
@@ -228,7 +231,7 @@ def main():
         ("conv_stack_fwd_rec", conv_fwd, (conv_params, res_in)),
         ("conv_stack_fwd_rec_xla_conv", conv_x_fwd, (conv_params, res_in)),
         ("conv_stack_fwd_rec_sum3", conv_s_fwd, (conv_params, res_in)),
-    ):
+    ) if not args.only_ab else ():
         fl = flops_of(fn, *fargs)
         dt = time_fn(fn, *fargs, n=n, warmup=3)
         rows[name] = {
@@ -257,7 +260,12 @@ def main():
         ("clip_fused", dict(clip=1.0, opt_impl="fused")),
         ("sum3_conv", dict(conv_impl="sum3")),
         ("xla_conv+fused_adam", dict(conv_impl="xla_conv", opt_impl="fused")),
+        ("xla_conv+bf16_state",
+         dict(conv_impl="xla_conv", opt_impl="fused",
+              opt_state_dtype="bf16")),
     ):
+        if args.only_ab and tag not in args.only_ab.split(","):
+            continue
         k = kw.get("steps_per_call", 1)
         _, pb2, st2, sf2 = build(b, **kw, **sizes)
         dt = time_fn(sf2, st2, pb2, n=max(n // k, 4), warmup=3) / k

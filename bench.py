@@ -142,6 +142,12 @@ def _regression_check(result, threshold_pct=3.0):
         + (f"  ** REGRESSION > {threshold_pct}% **" if flag else ""),
         file=sys.stderr,
     )
+    # Per-row guard (VERDICT r4 item 3: the bingham_train -23% drift went
+    # unflagged because only the headline was compared).  A row regresses
+    # when its throughput drops or its latency rises by >10%; latency-bound
+    # tiny rows are relay-variance-prone, so the flag is a prompt to re-run
+    # before bisecting.
+    row_regressions = {}
     for name, row in (result.get("rows") or {}).items():
         prow = (prev.get("rows") or {}).get(name)
         if not isinstance(prow, dict) or not isinstance(row, dict):
@@ -149,13 +155,19 @@ def _regression_check(result, threshold_pct=3.0):
         for k in ("steps_per_sec", "seconds"):
             if k in row and k in prow and prow[k]:
                 d = 100.0 * (row[k] - prow[k]) / prow[k]
+                worse = d < -10.0 if k == "steps_per_sec" else d > 10.0
+                if worse:
+                    row_regressions[f"{name}.{k}"] = round(d, 1)
                 print(f"[bench]   {name}.{k}: {prow[k]} -> {row[k]} "
-                      f"({d:+.1f}%)", file=sys.stderr)
+                      f"({d:+.1f}%)"
+                      + ("  ** ROW REGRESSION > 10% **" if worse else ""),
+                      file=sys.stderr)
     return {
         "prev_round": prev["_round"],
         "prev_value": prev["value"],
         "delta_pct": round(delta_pct, 2),
         "regression": flag,
+        "row_regressions": row_regressions,
     }
 
 

@@ -238,7 +238,25 @@ def train(args):
                 yield from make_batches(pairs, args, rng)
 
         gen = endless()
+        tail_fn = None  # K=1 step for the final partial group (ADVICE r4:
+        # without it, steps not divisible by K overshot by up to K-1)
         while step < args.steps:
+            k_now = min(K, args.steps - step)
+            if k_now < K:
+                if tail_fn is None:
+                    tail_fn = make_dp_train_step(
+                        loss_fn, tx, mesh, steps_per_call=1, log_norms=True
+                    )
+                for _ in range(k_now):
+                    state, metrics = tail_fn(state, next(gen))
+                    meter.tick()
+                step += k_now
+                logger.log(step, {**metrics,
+                                  "steps_per_sec": meter.steps_per_sec
+                                  or float("nan")})
+                save_checkpoint(args.ckpt, state)
+                last_save = step
+                break
             if K == 1:
                 batch = next(gen)
             else:
@@ -434,7 +452,10 @@ def parse_args(argv=None):
                    default=8,
                    help="optimizer steps fused into one dispatch via "
                         "lax.scan (amortizes per-execution overhead on the "
-                        "tunneled relay; same SGD math)")
+                        "tunneled relay; same SGD math).  NOTE: only the "
+                        "final sub-step's loss/norms reach the JSONL log, "
+                        "so curve density is ~1/K of the per-step protocol; "
+                        "use 1 for dense curves / matched-protocol runs")
     p.add_argument("--no-augment", dest="no_augment", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--data-root", dest="data_root", type=str,

@@ -94,14 +94,17 @@ def planenet_pp_apply(
     — where the model's depth lives — run split over P pipeline stages.
     Numerically identical to ``model.apply`` (asserted by
     ``tests/test_pp.py``).
+
+    With ``model.moe_experts > 0`` (Switch MoE FFN layers) the return is
+    ``(pred, aux)``: each stage pulls its layers' sown load-balance losses
+    through the pipeline (``pipeline_apply(layer_has_aux=True)``), summed
+    over layers and averaged over microbatches — add ``aux_weight * aux``
+    to the training loss exactly as the dense-apply path does
+    (``experiments/aircraft.py`` loss_fn).
     """
     from ..parallel.pp import pipeline_apply
 
-    if model.moe_experts > 0:
-        raise NotImplementedError(
-            "planenet_pp_apply pipelines the dense encoder stack; the MoE "
-            "variant needs per-stage losses-collection handling"
-        )
+    moe = model.moe_experts > 0
     dtype = jnp.bfloat16 if model.bf16 else jnp.float32
     emb = Siren(model.dim // 2, scale=30)
     x_emb = emb.apply({"params": pp_params["embed"]["Siren_0"]}, x)
@@ -117,16 +120,31 @@ def planenet_pp_apply(
         TransformerEncoder.dim_feedforward,
         model.dropout,
         dtype=dtype,
+        moe_experts=model.moe_experts,
+        moe_dispatch=model.moe_dispatch,
     )
 
-    def layer_fn(p_l, h):
-        return template.apply({"params": p_l}, h)
+    if moe:
 
-    h = pipeline_apply(
-        layer_fn, pp_params["layers"], h, mesh, n_microbatches, pp_axis
-    )
+        def layer_fn(p_l, h):
+            out, st = template.apply({"params": p_l}, h, mutable=["losses"])
+            return out, sum(jax.tree_util.tree_leaves(st["losses"]))
+
+        h, aux = pipeline_apply(
+            layer_fn, pp_params["layers"], h, mesh, n_microbatches,
+            pp_axis, layer_has_aux=True,
+        )
+    else:
+
+        def layer_fn(p_l, h):
+            return template.apply({"params": p_l}, h)
+
+        h = pipeline_apply(
+            layer_fn, pp_params["layers"], h, mesh, n_microbatches, pp_axis
+        )
     h = h.astype(jnp.float32)
     pooled = PoolRN(model.dim).apply(
         {"params": pp_params["head"]["PoolRN_0"]}, h
     )
-    return nn.Dense(3).apply({"params": pp_params["head"]["Dense_0"]}, pooled)
+    pred = nn.Dense(3).apply({"params": pp_params["head"]["Dense_0"]}, pooled)
+    return (pred, aux) if moe else pred

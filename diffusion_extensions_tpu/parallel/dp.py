@@ -94,7 +94,12 @@ def make_dp_train_step(
                         optax.global_norm(new_state.params))
 
             def without():
-                return (jnp.zeros(()), jnp.zeros(()))
+                # dtypes must match with_norms() or lax.cond fails to
+                # trace under non-f32 params (ADVICE r4)
+                gdt = jnp.result_type(*jax.tree_util.tree_leaves(grads))
+                pdt = jnp.result_type(
+                    *jax.tree_util.tree_leaves(new_state.params))
+                return (jnp.zeros((), gdt), jnp.zeros((), pdt))
 
             gn, pn = jax.lax.cond(want_norms, with_norms, without)
             metrics["grad_norm"] = gn

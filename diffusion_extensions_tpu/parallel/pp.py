@@ -57,6 +57,7 @@ def pipeline_apply(
     n_microbatches: int,
     pp_axis: str = "pp",
     dp_axis: str = "dp",
+    layer_has_aux: bool = False,
 ):
     """Apply L stacked layers to ``x`` through a P-stage pipeline.
 
@@ -64,6 +65,17 @@ def pipeline_apply(
     carry a leading dim L with ``L % P == 0``; ``x`` is the global batch
     ``(B, ...)`` with ``B % n_microbatches == 0``.  Returns ``layer_L(...
     layer_1(x))`` exactly as the sequential stack would, replicated.
+
+    ``layer_has_aux=True`` switches the contract to ``layer_fn(params_l, h)
+    -> (h, aux_scalar)`` (e.g. a MoE layer's sown load-balance loss) and
+    the return to ``(out, aux)``: aux is summed over layers and averaged
+    over microbatches — per-tick contributions from pipeline warmup/drain
+    ticks (whose activations are garbage and discarded) are masked out, so
+    only real microbatch×layer work contributes.  Note the semantic delta
+    vs the unpipelined model: each microbatch's router balance is computed
+    over its own mb*N tokens, so aux is the MEAN of per-microbatch
+    balance losses rather than one full-batch loss — both are valid
+    Switch regularizers (Fedus et al. compute it per-device anyway).
 
     Composes with data parallelism: on a mesh that also has a ``dp_axis``,
     the microbatch dim is dp-sharded and each dp replica runs its own
@@ -95,12 +107,16 @@ def pipeline_apply(
     micro = x.reshape((n_microbatches, mb) + x.shape[1:])
 
     def stage_apply(local_params, h):
-        # the stage's L/P layers, one compiled body via scan
+        # the stage's L/P layers, one compiled body via scan; aux (when
+        # present) is summed over the stage's local layers
         def body(h, p_l):
-            return layer_fn(p_l, h), None
+            if layer_has_aux:
+                h, aux = layer_fn(p_l, h)
+                return h, aux.astype(jnp.float32)
+            return layer_fn(p_l, h), jnp.zeros((), jnp.float32)
 
-        h, _ = jax.lax.scan(body, h, local_params)
-        return h
+        h, auxs = jax.lax.scan(body, h, local_params)
+        return h, jnp.sum(auxs)
 
     def pipelined(local_params, micro):
         # inside shard_map over pp: local_params leaves are (L/P, ...),
@@ -118,15 +134,21 @@ def pipeline_apply(
 
         out0 = _vary(jnp.zeros((m,) + micro.shape[1:], micro.dtype))
         carry0 = _vary(jnp.zeros(micro.shape[1:], micro.dtype))
+        aux0 = _vary(jnp.zeros((), jnp.float32))
 
         def tick(state, t):
-            h, out = state
+            h, out, aux = state
             # stage 0 ingests microbatch t (clamped index; garbage ticks
             # compute but are never stored), others take the ppermuted
             # activation from the previous tick
             feed = micro[jnp.clip(t, 0, m - 1)]
             h_in = jnp.where(stage == 0, feed, h)
-            h_out = stage_apply(local_params, h_in)
+            h_out, aux_t = stage_apply(local_params, h_in)
+            # stage s works on real microbatch t-s only while
+            # 0 <= t-s < m; warmup/drain ticks produce garbage activations
+            # (and garbage aux) that must not be accumulated
+            real = jnp.logical_and(t - stage >= 0, t - stage < m)
+            aux = aux + jnp.where(real, aux_t, 0.0)
             # ship to the next stage for the next tick
             h_next = jax.lax.ppermute(h_out, pp_axis, perm)
             # last stage finished microbatch t-(P-1) this tick
@@ -136,20 +158,41 @@ def pipeline_apply(
                 out, h_out, jnp.maximum(out_idx, 0), 0
             )
             out = jnp.where(valid, upd, out)
-            return (h_next, out), None
+            return (h_next, out, aux), None
 
-        (_, out), _ = jax.lax.scan(
-            tick, (carry0, out0), jnp.arange(m + pp - 1)
+        (_, out, aux), _ = jax.lax.scan(
+            tick, (carry0, out0, aux0), jnp.arange(m + pp - 1)
         )
         # replicate the last stage's buffer to every stage so the caller
         # sees a plain replicated output
         out = jax.lax.psum(
             jnp.where(stage == pp - 1, out, jnp.zeros_like(out)), pp_axis
         )
+        # total over layers (each stage holds L/P of them), mean over the
+        # M microbatches; replicated over pp by the psum itself
+        aux = jax.lax.psum(aux, pp_axis) / m
+        if has_dp:
+            # a scalar cannot be dp-sharded on output; replicate the
+            # cross-replica mean instead (matches dp loss averaging)
+            aux = jax.lax.pmean(aux, dp_axis)
+        return out, aux
+
+    if layer_has_aux:
+        mapped = jax.shard_map(
+            pipelined,
+            mesh=mesh,
+            in_specs=(P(pp_axis), micro_spec),
+            out_specs=(micro_spec, P()),
+        )
+        out, aux = mapped(stacked_params, micro)
+        return out.reshape((batch,) + out.shape[2:]), aux
+
+    def no_aux(local_params, micro):
+        out, _ = pipelined(local_params, micro)
         return out
 
     mapped = jax.shard_map(
-        pipelined,
+        no_aux,
         mesh=mesh,
         in_specs=(P(pp_axis), micro_spec),
         out_specs=micro_spec,

@@ -90,6 +90,27 @@ def restore_checkpoint(
         return target
     if params_only:
         raw = mgr.restore(step)  # structure-free: nested dicts off disk
+        # Validate structure + leaf shapes against the target (ADVICE r4:
+        # a checkpoint/model-config mismatch otherwise surfaces later as
+        # an opaque flax apply error, or silently wrong eval).
+        got = jax.tree_util.tree_structure(raw["params"])
+        want = jax.tree_util.tree_structure(target.params)
+        if got != want:
+            raise ValueError(
+                f"params_only restore from {ckpt_dir} step {step}: "
+                f"checkpoint param tree does not match the model config "
+                f"(stored {got} vs target {want}) — check the eval flags "
+                f"match the training flags")
+        for (kp, a), b in zip(
+            jax.tree_util.tree_flatten_with_path(raw["params"])[0],
+            jax.tree_util.tree_leaves(target.params),
+        ):
+            if tuple(getattr(a, "shape", ())) != tuple(b.shape):
+                name = jax.tree_util.keystr(kp)
+                raise ValueError(
+                    f"params_only restore from {ckpt_dir} step {step}: "
+                    f"shape mismatch at {name}: stored "
+                    f"{getattr(a, 'shape', ())} vs model {b.shape}")
         return target.replace(
             step=jnp.asarray(raw["step"]),
             params=jax.tree_util.tree_map(jnp.asarray, raw["params"]),

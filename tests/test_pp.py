@@ -174,3 +174,69 @@ def test_pipelined_planenet_matches_model(devices):
     got = planenet_pp_apply(model, pp_params, xb, tb, mesh, n_microbatches=4)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_pipelined_planenet_moe(devices):
+    """MoE x pp composition (VERDICT r4 item 7): the pipelined MoE encoder
+    must match the dense apply run per-microbatch (routing capacity is a
+    function of the token count, so the exact reference is the microbatched
+    model, not the full-batch apply), and the aux load-balance loss must be
+    the microbatch mean of the sown per-layer sums."""
+    from diffusion_extensions_tpu.models.planenet import (
+        PlaneNet,
+        planenet_pp_apply,
+        planenet_pp_params,
+    )
+
+    M = 4
+    model = PlaneNet(dim=64, heads=4, layers=4, moe_experts=4)
+    rng = np.random.default_rng(4)
+    xb = jnp.asarray(rng.standard_normal((8, 32, 3)).astype(np.float32))
+    tb = jnp.asarray(rng.integers(0, 50, size=(8,)).astype(np.int32))
+    params = model.init(jax.random.PRNGKey(0), xb, tb)
+    params = {"params": params["params"]}  # drop init-time sown losses
+
+    mb = xb.shape[0] // M
+    outs, auxs = [], []
+    for i in range(M):
+        o, st = model.apply(
+            params, xb[i * mb:(i + 1) * mb], tb[i * mb:(i + 1) * mb],
+            mutable=["losses"],
+        )
+        outs.append(o)
+        auxs.append(sum(jax.tree_util.tree_leaves(st["losses"])))
+    want = jnp.concatenate(outs)
+    want_aux = float(jnp.mean(jnp.stack(auxs)))
+
+    # pp-only mesh for exactness: adding dp would also dp-shard each
+    # microbatch, changing the per-shard token count and thus the MoE
+    # capacity (a different — still valid — routing regime)
+    mesh = make_mesh([("pp", 4)], devices=devices[:4])
+    pp_params = planenet_pp_params(params, mesh)
+    got, aux = planenet_pp_apply(
+        model, pp_params, xb, tb, mesh, n_microbatches=M
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(float(aux), want_aux, rtol=1e-5)
+
+    # gradients flow through both the prediction and the aux term
+    def loss(p):
+        pred, a = planenet_pp_apply(model, p, xb, tb, mesh, n_microbatches=M)
+        return jnp.mean(pred ** 2) + 0.01 * a
+
+    g = jax.grad(loss)(pp_params)
+    gn = sum(float(jnp.sum(jnp.abs(x)))
+             for x in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(gn) and gn > 0.0
+
+    # dp x pp composition still runs and returns finite values (routing
+    # capacity differs per dp shard by design — see note above)
+    mesh2 = make_mesh([("dp", 2), ("pp", 4)], devices=devices)
+    got2, aux2 = planenet_pp_apply(
+        model, planenet_pp_params(params, mesh2), xb, tb, mesh2,
+        n_microbatches=M,
+    )
+    assert got2.shape == want.shape
+    assert np.all(np.isfinite(np.asarray(got2)))
+    assert np.isfinite(float(aux2))

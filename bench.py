@@ -13,6 +13,10 @@ Prints ONE JSON line:
                             TPU-scaled batch 16 (+ MFU for each: the
                             batch-16-at-same-step-rate observation
                             quantified, ``prot_train.py:21-47,90-111``)
+  protein_train_b4_opt      the same batch-4 step with the framework's
+                            production levers on (K=8 dispatch fusion +
+                            bf16 optimizer state — round-5 closure of the
+                            latency-bound row, BENCHMARKS.md)
   bingham_train             RotPredict/SO3Diffusion train step, batch 64
                             (``bingham_train.py:50,89``)
   mmd_eval_20k              MMD(20k, 20k) with the rotation gaussian
@@ -258,7 +262,15 @@ def bench_aircraft(args, n_chips, moe_experts=0):
     return per_chip, mfu, flops
 
 
-def bench_protein(batch, quick):
+def bench_protein(batch, quick, opt=False):
+    """ProtNet SE(3) train-step throughput at ``batch``.
+
+    ``opt=False`` is the faithful reference-protocol row (K=1 dispatch,
+    f32 optax Adam — kept bit-comparable round-over-round).  ``opt=True``
+    measures the framework's production levers for the latency-bound
+    small-batch regime: K=8 dispatch fusion + bf16 optimizer state
+    (BENCHMARKS.md round-5 batch-4 closure: +59% at batch 4).
+    """
     from diffusion_extensions_tpu.data.pdb import (
         pad_prot_batch, synthetic_prot_pair,
     )
@@ -280,7 +292,12 @@ def bench_protein(batch, quick):
     process = ProjectedSE3Diffusion(timesteps=1000)
     key = jax.random.PRNGKey(0)
     params = model.init(key, pb, jnp.zeros((batch,), jnp.int32))
-    tx = optax.adam(1e-4)
+    if opt:
+        from diffusion_extensions_tpu.train.optim import make_optimizer
+
+        tx = make_optimizer(1e-4, impl="fused", state_dtype="bf16")
+    else:
+        tx = optax.adam(1e-4)
     state = TrainState.create(params, tx, key)
     truepos = AffineT(
         jnp.broadcast_to(jnp.eye(3), (batch, 3, 3)), jnp.zeros((batch, 3))
@@ -295,7 +312,7 @@ def bench_protein(batch, quick):
     from diffusion_extensions_tpu.parallel.dp import make_dp_train_step
     from diffusion_extensions_tpu.parallel.mesh import make_mesh
 
-    K = 1
+    K = 8 if opt else 1
 
     def loss_fn(params, key, pb):
         proj = ProtProjection(pb, se3=True)
@@ -308,6 +325,12 @@ def bench_protein(batch, quick):
         loss_fn, tx, make_mesh(devices=jax.devices()[:1]),
         steps_per_call=K, log_norms=False, donate=False,
     )
+    if K > 1:
+        # fused dispatch consumes a leading-K stack of batches (same data
+        # repeated is fine for throughput measurement)
+        pb = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (K,) + x.shape), pb
+        )
     flops = _flops_per_step(step_fn, state, pb)
     holder = {"state": state}
 
@@ -447,6 +470,16 @@ def main(argv=None):
                 "mfu": round(pmfu, 4) if pmfu is not None else None,
                 "gflops_per_step": round(pflops / 1e9, 1),
             }
+        # production-lever variant of the latency-bound batch-4 row:
+        # K=8 dispatch fusion + bf16 optimizer state (round-5 closure,
+        # BENCHMARKS.md) — what a user of THIS framework would run at b4
+        sps, pmfu, pflops = bench_protein(4, args.quick, opt=True)
+        rows["protein_train_b4_opt"] = {
+            "steps_per_sec": round(sps, 2),
+            "mfu": round(pmfu, 4) if pmfu is not None else None,
+            "gflops_per_step": round(pflops / 1e9, 1)
+            if np.isfinite(pflops) else None,
+        }
         # EP-family row (VERDICT r3 item 3): the same aircraft step with a
         # 4-expert Switch-MoE FFN — matched per-token FLOPs to the dense
         # headline (top-1 routing), so the delta is routing/dispatch cost

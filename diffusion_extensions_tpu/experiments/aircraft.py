@@ -142,7 +142,9 @@ def train(args):
     else:
         mesh = make_mesh()
         step_fn = make_dp_train_step(
-            loss_fn, tx, mesh, steps_per_call=K, log_norms=args.log_norms
+            loss_fn, tx, mesh, steps_per_call=K,
+            log_norms=args.log_norms or args.log_norms_per_layer,
+            per_layer_norms=args.log_norms_per_layer,
         )
 
     train_data = load_data("train", args)
@@ -396,6 +398,12 @@ def parse_args(argv=None):
                         "numerically equivalent (tests/test_moe.py)")
     p.add_argument("--log-norms", dest="log_norms", action="store_true",
                    help="log grad/param global norms (wandb.watch equivalent)")
+    p.add_argument("--log-norms-per-layer", dest="log_norms_per_layer",
+                   action="store_true",
+                   help="additionally log one grad norm per top-level "
+                        "module as grad_norm/<module> JSONL keys (the "
+                        "per-layer half of wandb.watch; implies "
+                        "--log-norms)")
     p.add_argument("--timesteps", type=int, default=1000)
     p.add_argument("--steps", type=int, default=1_000_000)
     p.add_argument("--seed", type=int, default=0)

@@ -178,7 +178,8 @@ def train(args):
     n_dp = math.gcd(len(jax.devices()), args.batch)
     mesh = make_mesh(devices=jax.devices()[:n_dp])
     step_fn = make_dp_train_step(
-        loss_fn, tx, mesh, steps_per_call=K, log_norms=True
+        loss_fn, tx, mesh, steps_per_call=K, log_norms=True,
+        per_layer_norms=args.log_norms_per_layer,
     )
     # replicate the state over the (possibly subset) mesh: a freshly
     # created/restored state lives on device 0 only, which jit rejects
@@ -245,7 +246,8 @@ def train(args):
             if k_now < K:
                 if tail_fn is None:
                     tail_fn = make_dp_train_step(
-                        loss_fn, tx, mesh, steps_per_call=1, log_norms=True
+                        loss_fn, tx, mesh, steps_per_call=1, log_norms=True,
+                        per_layer_norms=args.log_norms_per_layer,
                     )
                 for _ in range(k_now):
                     state, metrics = tail_fn(state, next(gen))
@@ -456,6 +458,11 @@ def parse_args(argv=None):
                         "final sub-step's loss/norms reach the JSONL log, "
                         "so curve density is ~1/K of the per-step protocol; "
                         "use 1 for dense curves / matched-protocol runs")
+    p.add_argument("--log-norms-per-layer", dest="log_norms_per_layer",
+                   action="store_true",
+                   help="log one grad norm per top-level module as "
+                        "grad_norm/<module> JSONL keys (per-layer half of "
+                        "the reference's wandb.watch, prot_train.py:76)")
     p.add_argument("--no-augment", dest="no_augment", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--data-root", dest="data_root", type=str,

@@ -28,6 +28,7 @@ def make_dp_train_step(
     steps_per_call: int = 1,
     log_norms: bool = False,
     skip_nonfinite: bool = False,
+    per_layer_norms: bool = False,
 ):
     """Build a jitted data-parallel train step.
 
@@ -44,6 +45,11 @@ def make_dp_train_step(
     ``log_norms=True`` adds ``grad_norm``/``param_norm`` to the metrics —
     the equivalent of the reference's ``wandb.watch(net)`` gradient
     tracking (``so3_train.py:62``, ``prot_train.py:76``).
+    ``per_layer_norms=True`` additionally reports one grad norm per
+    top-level module (``grad_norm/<module>`` keys) — the per-layer half of
+    ``wandb.watch``'s histogram stream, reduced to the norm scalar that is
+    actually consumed when reading such dashboards.  Same single HBM
+    sweep, just segmented.
     """
 
     def one_step(state: TrainState, batch, want_norms=True):
@@ -104,6 +110,28 @@ def make_dp_train_step(
             gn, pn = jax.lax.cond(want_norms, with_norms, without)
             metrics["grad_norm"] = gn
             metrics["param_norm"] = pn
+            if per_layer_norms:
+                import optax
+
+                # segment the same sweep by top-level module (flax param
+                # trees are {"params": {<Module_i>: ...}})
+                inner = grads.get("params", grads) if isinstance(
+                    grads, dict) else grads
+                if isinstance(inner, dict):
+                    def layer_norms():
+                        return {
+                            k: optax.global_norm(v).astype(jnp.float32)
+                            for k, v in inner.items()
+                        }
+
+                    def layer_zeros():
+                        return {
+                            k: jnp.zeros((), jnp.float32) for k in inner
+                        }
+
+                    per = jax.lax.cond(want_norms, layer_norms, layer_zeros)
+                    for k, v in per.items():
+                        metrics[f"grad_norm/{k}"] = v
         return new_state, metrics
 
     if steps_per_call == 1:

@@ -434,3 +434,27 @@ def test_dp_fused_log_norms_final_substep(toy_setup):
     np.testing.assert_allclose(
         float(m_a["param_norm"]), float(m_b["param_norm"]), rtol=1e-5
     )
+
+
+def test_dp_per_layer_norms(toy_setup):
+    """per_layer_norms=True segments the grad-norm sweep by top-level
+    module: grad_norm/<module> keys exist and their squares sum to the
+    global grad_norm squared (same tree, same single sweep)."""
+    model, process, params, tx = toy_setup
+    mesh = make_mesh()
+
+    def loss_fn(p, key, batch):
+        return process.loss(lambda x, t: model.apply(p, x, t), key, batch)
+
+    step_fn = make_dp_train_step(
+        loss_fn, tx, mesh, donate=False, log_norms=True, per_layer_norms=True
+    )
+    state = TrainState.create(params, tx, jax.random.PRNGKey(1))
+    batch = sample_two_mode_batch(jax.random.PRNGKey(3), 32)
+    _, metrics = step_fn(state, shard_batch(batch, mesh))
+    layer_keys = [k for k in metrics if k.startswith("grad_norm/")]
+    assert layer_keys, "expected per-module grad_norm/<module> keys"
+    total_sq = sum(float(metrics[k]) ** 2 for k in layer_keys)
+    np.testing.assert_allclose(
+        total_sq, float(metrics["grad_norm"]) ** 2, rtol=1e-5
+    )

@@ -263,6 +263,12 @@ def main():
         ("xla_conv+bf16_state",
          dict(conv_impl="xla_conv", opt_impl="fused",
               opt_state_dtype="bf16")),
+        # bench protein_train_b* production config + K-fused dispatch
+        # (VERDICT r4 item 6: does K-fusion lift the latency-bound b4 row?)
+        ("xla_conv+k8", dict(conv_impl="xla_conv", steps_per_call=8)),
+        ("xla_conv+k8+bf16_state",
+         dict(conv_impl="xla_conv", steps_per_call=8, opt_impl="fused",
+              opt_state_dtype="bf16")),
     ):
         if args.only_ab and tag not in args.only_ab.split(","):
             continue

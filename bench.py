@@ -218,7 +218,15 @@ def bench_aircraft(args, n_chips, moe_experts=0):
             jnp.zeros((args.batch,), jnp.int32),
         )["params"]
     }
-    tx = optax.adam(1e-4)
+    if getattr(args, "headline_opt", False):
+        # bf16-opt-state arm (--headline-opt): same step, compressed Adam
+        # moments — measures whether the protein roofline's bandwidth win
+        # carries to the small-param aircraft step
+        from diffusion_extensions_tpu.train.optim import make_optimizer
+
+        tx = make_optimizer(1e-4, impl="fused", state_dtype="bf16")
+    else:
+        tx = optax.adam(1e-4)
     state = TrainState.create(params, tx, key)
     mesh = make_mesh()
     loss_fn = make_loss_fn(model, process, truepos, so3=True)
@@ -450,6 +458,11 @@ def main(argv=None):
     p.add_argument("--quick", action="store_true", help="short measurement")
     p.add_argument("--headline-only", dest="headline_only",
                    action="store_true", help="skip the secondary rows")
+    p.add_argument("--headline-opt", dest="headline_opt",
+                   action="store_true",
+                   help="run the headline with the bf16-opt-state fused "
+                        "Adam (A/B probe; the recorded headline stays "
+                        "f32 optax for round-over-round comparability)")
     args = p.parse_args(argv)
     if args.quick:
         # enough calls that K-fused dispatch is measured steady-state

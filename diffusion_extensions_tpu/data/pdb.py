@@ -143,7 +143,11 @@ def _pad_stack(prots: Sequence[ProtData], length: int | None = None):
         pos[i, :n] = p.positions
         ang[i, :n] = p.angles
         mask[i, :n] = True
-    return ProtData(jnp.asarray(res), jnp.asarray(pos), jnp.asarray(ang)), jnp.asarray(mask)
+    # Stay in host numpy: jit transfers the (possibly K-stacked) batch in one
+    # h2d at dispatch.  Returning device arrays here made the driver's
+    # np.stack K-grouping pull every leaf BACK through the device relay
+    # (~80 blocking d2h readbacks per dispatch, an 8x step-rate collapse).
+    return ProtData(res, pos, ang), mask
 
 
 def pad_prot_batch(

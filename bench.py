@@ -294,6 +294,10 @@ def bench_protein(batch, quick, opt=False):
     pb = pad_prot_batch(
         [pairs[i % len(pairs)] for i in range(batch)], lr, ll
     )
+    # pad_prot_batch now collates in host numpy (driver fix); pin the
+    # reused bench batch on device so timed calls measure the step, not
+    # a repeated h2d transfer, keeping rows comparable with BENCH_r03/r04.
+    pb = jax.tree_util.tree_map(jnp.asarray, pb)
 
     model = ProtNet(dim=1024, heads=8, t_depth=12, c_depth=8, se3=True,
                     bf16=True)

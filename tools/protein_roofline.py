@@ -79,6 +79,9 @@ def build(batch, fuse_chains=True, fused_qkv=False, conv_impl="matmul",
     lr = max(p[0].positions.shape[0] for p in pairs)
     ll = max(p[1].positions.shape[0] for p in pairs)
     pb = pad_prot_batch([pairs[i % len(pairs)] for i in range(batch)], lr, ll)
+    # pin on device: pad_prot_batch collates in host numpy (driver fix),
+    # and roofline arms reuse this batch every timed call
+    pb = jax.tree_util.tree_map(jnp.asarray, pb)
     model = ProtNet(
         dim=dim, heads=heads, t_depth=t_depth, c_depth=c_depth, se3=True,
         bf16=True, fuse_chains=fuse_chains, fused_qkv=fused_qkv,

@@ -143,6 +143,55 @@ def test_bench_importable():
     assert hasattr(mod, "main")
 
 
+def test_bench_regression_guard(tmp_path):
+    """bench._regression_check: headline flag at >3% drop, per-row flags at
+    >10% (throughput drop or latency rise), driver-wrapped BENCH_r*.json
+    unwrapping — the guard added for the round-4 bingham drift
+    (VERDICT r4 item 3) must not silently stop comparing."""
+    import importlib.util
+    import json
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(os.path.dirname(__file__)), "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    prev_inner = {
+        "value": 200.0,
+        "rows": {
+            "protein_train_b16": {"steps_per_sec": 50.0},
+            "mmd_eval": {"seconds": 0.040},
+            "sampler_1000": {"seconds": 0.150},
+        },
+    }
+    # the driver wraps the JSON line under "tail" with log noise around it
+    wrapped = {"n": 5, "cmd": "python bench.py",
+               "tail": "some log noise\n" + json.dumps(prev_inner) + "\n"}
+    (tmp_path / "BENCH_r07.json").write_text(json.dumps(wrapped))
+    mod.__file__ = str(tmp_path / "bench.py")  # redirect the glob
+
+    result = {
+        "value": 201.0,  # +0.5%: fine
+        "rows": {
+            "protein_train_b16": {"steps_per_sec": 40.0},  # -20%: flag
+            "mmd_eval": {"seconds": 0.050},                # +25% latency: flag
+            "sampler_1000": {"seconds": 0.151},            # +0.7%: fine
+        },
+    }
+    merged = mod._regression_check(result)
+    assert merged["prev_round"] == 7
+    assert merged["regression"] is False
+    assert merged["row_regressions"] == {
+        "protein_train_b16.steps_per_sec": -20.0,
+        "mmd_eval.seconds": 25.0,
+    }
+
+    # headline drop beyond the 3% threshold flags
+    merged = mod._regression_check({"value": 190.0, "rows": {}})
+    assert merged["regression"] is True
+
+
 def test_graft_entry_importable():
     import importlib.util
 
